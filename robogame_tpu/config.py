@@ -1,0 +1,143 @@
+"""Frozen configuration dataclasses for the TPU-native robo-game framework.
+
+Single source of truth for every constant the reference duplicates between C++
+and Python (see /root/reference/src/GameSim.cpp:5-16,21-25 and the per-script
+``GameParams`` classes, e.g. /root/reference/py/run_sim.py:13-36).
+
+All classes are hashable frozen dataclasses so they can be passed as static
+arguments to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+# Entity index order used everywhere in this framework:
+#   0 = A1, 1 = A2, 2 = B1, 3 = B2, 4 = PUCK
+# (matches the reference's grid enum order A1GRID..PKGRID,
+#  /root/reference/include/GameSim.h:13)
+A1, A2, B1, B2, PUCK = 0, 1, 2, 3, 4
+N_ENTITIES = 5
+N_PLAYERS = 4
+
+# Collision type ids (match /root/reference/include/Collision.h:5)
+WALL_UP, WALL_DOWN, WALL_RIGHT, WALL_LEFT, INTER_AGENT = 0, 1, 2, 3, 4
+
+# State component order within an entity's 4-vector: [px, py, vx, vy]
+# (matches /root/reference/include/SimState.h:7)
+PX, PY, VX, VY = 0, 1, 2, 3
+
+# Flat 22-vector layout of the reference state
+# (/root/reference/include/SimState.h:14-23):
+#   [scoreA, scoreB, puck(4), A1(4), A2(4), B1(4), B2(4)]
+VEC_TAS, VEC_TBS, VEC_PK, VEC_A1, VEC_A2, VEC_B1, VEC_B2, VEC_SIZE = (
+    0, 1, 2, 6, 10, 14, 18, 22)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimParams:
+    """Physics parameters. Defaults equal the reference C++ defaults
+    (/root/reference/src/GameSim.cpp:5-16 and reset defaults at 21-25)."""
+
+    dt: float = 0.05
+    winning_score: int = 3
+    noise: float = 0.0                 # w_stdev on player accelerations
+    tau_player: float = 0.5
+    tau_puck: float = 0.1
+    player_mass: float = 1.0
+    puck_mass: float = 0.5
+    player_radius: float = 0.2
+    puck_radius: float = 0.175
+    arena_x: float = 10.0
+    arena_y: float = 5.0
+    goal_height: float = 1.0
+    input_limit: float = 10.0          # Python-side limit (run_sim.py:23)
+    # Sub-step grid / event loop (include/GameSim.h:6-9)
+    grid_points: int = 50
+    collision_counter_lim: int = 50
+    overlap_buffer: float = 1.1
+    # Numerics
+    dtype: str = "float32"             # "float32" on TPU, "float64" for parity
+    stochastic: bool = False           # compile the noise path (static flag)
+
+    @property
+    def dt_col(self) -> float:
+        return self.dt / self.grid_points
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def radii(self) -> Tuple[float, ...]:
+        r, p = self.player_radius, self.puck_radius
+        return (r, r, r, r, p)
+
+    @property
+    def masses(self) -> Tuple[float, ...]:
+        m, q = self.player_mass, self.puck_mass
+        return (m, m, m, m, q)
+
+    @property
+    def taus(self) -> Tuple[float, ...]:
+        return (self.tau_player,) * 4 + (self.tau_puck,)
+
+    @property
+    def drags(self) -> Tuple[float, ...]:
+        # Player: vdot = (u - v)/tau  -> drag coefficient 1.0
+        # Puck:   vdot = (u - 0.2 v)/tau -> drag coefficient 0.2
+        # (/root/reference/src/GameSim.cpp:62-68,90-96)
+        return (1.0, 1.0, 1.0, 1.0, 0.2)
+
+    def replace(self, **kw) -> "SimParams":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class MpcParams:
+    """Horizon / weight parameters shared by the MPC controllers.
+    Defaults mirror /root/reference/py/src/CentralizedPlayers.py:5-40 and
+    /root/reference/py/src/DMPCTeam.py:35-63."""
+
+    N: int = 20                        # knots in horizon
+    minT_frac: float = 1.0             # minT = dt * minT_frac / N
+    maxT: float = 5.0 / 20.0           # per-step max (DMPC: 5.0/N)
+    w_pos: float = 10.0                # Omega_N_max diag (pos)
+    w_vel: float = 20.0                # Omega_N_max diag (vel)
+    sqp_iters: int = 6                 # fixed SQP outer iterations
+    qp_iters: int = 40                 # fixed ADMM iterations per QP
+    t_grid: int = 16                   # candidate final-time grid size
+
+    def replace(self, **kw) -> "MpcParams":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class CbfParams:
+    """CBF safety-filter parameters (/root/reference/py/run_sim.py:34-36,
+    /root/reference/py/src/CBF.py:23-32)."""
+
+    safety_radius: float = 0.4         # 2 * player_radius
+    barrier_gain: float = 30.0
+    qp_iters: int = 50
+
+    def replace(self, **kw) -> "CbfParams":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class StrategyParams:
+    """Team strategy thresholds (/root/reference/py/src/DMPCTeam.py:65-70,
+    /root/reference/py/src/ClassicalTeam.py:12)."""
+
+    kick_velocity: float = 4.0
+    v_hit: float = 4.0
+    v_thresh: float = 1.0              # arena_x / 10
+    d_goalie_offense: float = 5.0      # arena_x / 2
+    d_goalie_defense: float = 2.5      # arena_x / 4
+
+    def replace(self, **kw) -> "StrategyParams":
+        return dataclasses.replace(self, **kw)
