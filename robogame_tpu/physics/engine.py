@@ -141,12 +141,17 @@ def _detect(grid, base_idx, t0, params: SimParams, radius):
 
 def _pair_overlap_correction(p_i, p_j, r_i, r_j, buffer):
     """De-penetration along the *unnormalized* relative position vector
-    (reference quirk, /root/reference/src/GameSim.cpp:263-264,587-588)."""
+    (reference quirk, /root/reference/src/GameSim.cpp:263-264,587-588).
+
+    Float evaluation order matches the reference expression
+    ``buffer * r/(r_i+r_j) * overlap * pij`` term by term so float64 runs
+    track the C++ oracle bit-tightly."""
     pij = p_j - p_i
     overlap = r_i + r_j - jnp.linalg.norm(pij)
-    shift = jnp.where(overlap > 0, buffer * overlap, 0.0) * pij
-    denom = r_i + r_j
-    return p_i - (r_i / denom) * shift, p_j + (r_j / denom) * shift
+    apply = overlap > 0
+    coef_i = jnp.where(apply, buffer * r_i / (r_i + r_j) * overlap, 0.0)
+    coef_j = jnp.where(apply, buffer * r_j / (r_i + r_j) * overlap, 0.0)
+    return p_i - coef_i * pij, p_j + coef_j * pij
 
 
 def _wall_overlap_correction(x, r, ctype, halfx, halfy, buffer):
@@ -304,10 +309,12 @@ def _update_sim(state: GameState, controls, params: SimParams) -> GameState:
         d12 = p_i - p_j
         den = jnp.sum(d12 * d12)
         den_safe = jnp.where(den > 0, den, 1.0)
-        rel = jnp.sum((v1 - v2) * d12) / den_safe
-        vi_new = v1 - (2.0 * m_j / (m_i + m_j)) * rel * d12
-        # j's update uses (v2-v1)·(p2-p1)/|p2-p1|² (p2-p1) == rel * (-d12)
-        vj_new = v2 + (2.0 * m_i / (m_i + m_j)) * rel * d12
+        # elastic impulse (GameSim.cpp:272-274); evaluation order follows the
+        # reference expression  v1 - 2*m_j/(m_i+m_j) * dot/den * d12
+        dot_v = jnp.sum((v1 - v2) * d12)
+        vi_new = v1 - 2.0 * m_j / (m_i + m_j) * dot_v / den_safe * d12
+        # j's update uses (v2-v1)·(p2-p1)/|p2-p1|² (p2-p1) == dot_v/den*(-d12)
+        vj_new = v2 - 2.0 * m_i / (m_i + m_j) * dot_v / den_safe * (-d12)
         xi_pair = jnp.concatenate([p_i, vi_new])
         xj_pair = jnp.concatenate([p_j, vj_new])
 

@@ -60,13 +60,14 @@ class GameSim:
         if self._log is not None and was_undecided:
             s = self._state
             rec = log_record(s)
+            from .utils.gamelog import damage_log_fields
             row = np.concatenate([
                 np.asarray(rec.t, dtype=np.float64).reshape(1),
                 np.asarray(rec.score, dtype=np.float64),
                 np.asarray(rec.positions, dtype=np.float64).reshape(10),
-                # damage emitted column-wise (reference Logger quirk,
-                # include/utils.h:72-76)
-                np.asarray(rec.damage, dtype=np.float64).T.reshape(16),
+                # sliding-window damage emission (reference Logger quirk,
+                # include/utils.h:72-76; see utils/gamelog.py)
+                damage_log_fields(np.asarray(rec.damage)),
             ])
             self._log.write_row(row)
         return np.asarray(to_vector(self._state))

@@ -7,11 +7,17 @@ puck, A1, A2, B1, B2, then the 4x4 damage matrix as 4 rows
 byte-compatible, so the reference's MATLAB readers
 (/root/reference/matlab/visualize_game.m:22) work unchanged.
 
-Note a reference quirk kept for compatibility: ``logVectors`` emits
-``damage.row(k)`` from the raw data pointer of a row expression of a
-column-major matrix, which actually writes matrix *columns*
-(/root/reference/include/utils.h:72-76).  Damage is symmetric under equal
-player masses, and we emit columns likewise (i.e. ``damage.T`` rows).
+Note a reference quirk kept for byte-compatibility: ``logVectors`` emits
+``damage.row(k)`` via the raw ``.data()`` pointer of a row *block* of a
+column-major matrix (/root/reference/include/utils.h:72-76).  ``.data()``
+points at ``&damage(k,0)``, so each "row" actually writes the next 4
+*contiguous column-major* elements -- a sliding window ``cmflat[k:k+4]``
+where ``cmflat`` is the column-major flattening.  The 16 logged damage
+fields are therefore cmflat[0:4], [1:5], [2:6], [3:7]: entries cmflat[7:]
+never reach the log and early entries repeat.  We replicate this exactly
+(verified byte-identical against the compiled reference in
+tests/test_parity.py); :func:`rows_from_states_full_damage` offers a
+non-lossy 41-field export for new tooling.
 """
 
 from __future__ import annotations
@@ -49,20 +55,43 @@ def read_log(path: str, fields: int = RECORD_FIELDS) -> np.ndarray:
     return data[:n * fields].reshape(n, fields)
 
 
+# sliding-window gather indices into the column-major damage flattening
+# (see module docstring)
+DAMAGE_WINDOW_IDX = np.array([0, 1, 2, 3, 1, 2, 3, 4,
+                              2, 3, 4, 5, 3, 4, 5, 6])
+
+
+def damage_log_fields(damage: np.ndarray) -> np.ndarray:
+    """(.., 4, 4) damage -> (.., 16) log fields, reference quirk included."""
+    dm = np.asarray(damage, dtype=np.float64)
+    cm = np.swapaxes(dm, -1, -2).reshape(dm.shape[:-2] + (16,))
+    return cm[..., DAMAGE_WINDOW_IDX]
+
+
 def rows_from_states(ts, scores, positions, damages) -> np.ndarray:
     """Build (T, 29) rows from trajectory arrays.
 
     positions: (T, 5, 2) in log order [puck, A1, A2, B1, B2];
-    damages: (T, 4, 4).  Damage is transposed to match the reference's
-    column-emission quirk.
+    damages: (T, 4, 4), emitted through the reference's sliding-window quirk.
     """
     T = np.shape(ts)[0]
     out = np.empty((T, RECORD_FIELDS), dtype=np.float64)
     out[:, 0] = np.asarray(ts, dtype=np.float64)
     out[:, 1:3] = np.asarray(scores, dtype=np.float64).reshape(T, 2)
     out[:, 3:13] = np.asarray(positions, dtype=np.float64).reshape(T, 10)
-    dm = np.asarray(damages, dtype=np.float64).reshape(T, 4, 4)
-    out[:, 13:29] = np.transpose(dm, (0, 2, 1)).reshape(T, 16)
+    out[:, 13:29] = damage_log_fields(damages)
+    return out
+
+
+def rows_from_states_full_damage(ts, scores, positions, damages):
+    """Lossless 41-field export: 13 header fields + the full row-major
+    damage matrix (new tooling should prefer this)."""
+    T = np.shape(ts)[0]
+    out = np.empty((T, 13 + 16), dtype=np.float64)
+    out[:, 0] = np.asarray(ts, dtype=np.float64)
+    out[:, 1:3] = np.asarray(scores, dtype=np.float64).reshape(T, 2)
+    out[:, 3:13] = np.asarray(positions, dtype=np.float64).reshape(T, 10)
+    out[:, 13:29] = np.asarray(damages, dtype=np.float64).reshape(T, 16)
     return out
 
 
