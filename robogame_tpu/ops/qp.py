@@ -1,0 +1,110 @@
+"""Batched convex QP solver (OSQP-style ADMM, fixed iteration count).
+
+Replaces Drake's ``MathematicalProgram`` + OSQP/SNOPT for every convex
+subproblem in the reference controller stack (CBF filter QP,
+``intercepting_traj`` effort-QP, the SQP inner problems of the MPC
+controllers).  TPU-first design decisions:
+
+* fixed iteration count, no data-dependent control flow -> one fused XLA
+  program, trivially ``vmap``-able over thousands of problem instances;
+* one dense Cholesky factorization of ``H + sigma I + rho AᵀA`` per problem
+  (problems here are <= ~128 variables, a single MXU tile);
+* convergence reported as residual-based flags, mirroring the reference's
+  fallback-on-failure semantics (/root/reference/py/src/CBF.py:92-94).
+
+Problem form:   min ½ xᵀHx + gᵀx   s.t.  l <= Ax <= u
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class QpSolution(NamedTuple):
+    x: jax.Array           # (n,) primal solution
+    converged: jax.Array   # () bool
+    prim_res: jax.Array    # () final primal residual (inf-norm)
+    dual_res: jax.Array    # () final dual residual (inf-norm)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def solve_qp(H, g, A, l, u, iters: int = 50, rho: float = 1.0,
+             sigma: float = 1e-6, alpha: float = 1.6,
+             tol: float = 1e-3) -> QpSolution:
+    """ADMM with over-relaxation.  All arguments may carry leading batch
+    dims via ``vmap``; shapes: H (n,n), g (n,), A (m,n), l/u (m,).
+
+    Equality rows (l == u) get a 1000x larger rho, following OSQP's
+    heuristic, which sharply improves their satisfaction at fixed
+    iteration counts."""
+    n = H.shape[-1]
+    dtype = H.dtype
+    is_eq = (l == u)
+    rho_vec = jnp.where(is_eq, 1e3 * rho, rho).astype(dtype)
+    sigma = jnp.asarray(sigma, dtype)
+    alpha = jnp.asarray(alpha, dtype)
+
+    K = (H + sigma * jnp.eye(n, dtype=dtype) +
+         (A.T * rho_vec[None, :]) @ A)
+    chol = jnp.linalg.cholesky(K)
+
+    def solve_K(rhs):
+        y = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
+        return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+
+    x0 = jnp.zeros((n,), dtype)
+    z0 = jnp.zeros(A.shape[:-1], dtype)
+    y0 = jnp.zeros_like(z0)
+
+    def body(carry, _):
+        x, z, y = carry
+        rhs = sigma * x - g + A.T @ (rho_vec * z - y)
+        x_new = solve_K(rhs)
+        Ax = A @ x_new
+        z_tilde = alpha * Ax + (1 - alpha) * z
+        z_new = jnp.clip(z_tilde + y / rho_vec, l, u)
+        y_new = y + rho_vec * (z_tilde - z_new)
+        return (x_new, z_new, y_new), None
+
+    (x, z, y), _ = lax.scan(body, (x0, z0, y0), None, length=iters)
+
+    Ax = A @ x
+    prim = jnp.max(jnp.abs(Ax - z))
+    dual = jnp.max(jnp.abs(H @ x + g + A.T @ y))
+    scale = 1.0 + jnp.max(jnp.abs(g)) + jnp.max(jnp.abs(Ax))
+    conv = (prim < tol * scale) & (dual < tol * scale * 10.0)
+    return QpSolution(x=x, converged=conv, prim_res=prim, dual_res=dual)
+
+
+def solve_qp_batch(H, g, A, l, u, iters: int = 50, **kw) -> QpSolution:
+    """vmap over a leading batch axis of every argument."""
+    return jax.vmap(lambda *a: solve_qp(*a, iters=iters, **kw))(H, g, A, l,
+                                                                u)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def solve_box_ls(F, b, lo, hi, iters: int = 40, reg: float = 1e-8):
+    """Box-constrained least squares  min ||F x - b||²  s.t. lo <= x <= hi
+    via projected gradient with optimal fixed step (1/L, L = ||FᵀF||).
+    Used for condensed trajectory problems where the only constraints are
+    input boxes."""
+    n = F.shape[-1]
+    H = F.T @ F + reg * jnp.eye(n, dtype=F.dtype)
+    g = -(F.T @ b)
+    L = jnp.linalg.norm(H, ord=2)  # spectral norm; shapes are tiny
+    step = 1.0 / L
+
+    x0 = jnp.clip(jnp.zeros((n,), F.dtype), lo, hi)
+
+    def body(x, _):
+        grad = H @ x + g
+        x = jnp.clip(x - step * grad, lo, hi)
+        return x, None
+
+    x, _ = lax.scan(body, x0, None, length=iters)
+    return x
