@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Headline benchmark: Monte-Carlo game throughput (physics control-steps/s).
+
+Workload: a batch of B independent 2v2 games (randomized puck initial
+states, seeds 1..B), rolled out for ``n_steps`` control steps of the full
+physics engine (50-point RK4 sub-step grid + event-driven collision loop
+per step) -- the reference's MonteCarlo workload
+(/root/reference/py/MonteCarlo.py:23-45), which it runs strictly
+sequentially one game at a time.
+
+Baseline: the compiled reference C++ sim (g++ -O2, Eigen) sustains
+~18,000 control-steps/s single-core on this machine's CPU (measured with
+tools/oracle_main.cpp on the random_100s schedule; see BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_STEPS_PER_SEC = 18_000.0  # compiled C++ reference, 1 CPU core
+
+
+def main():
+    from robogame_tpu.config import SimParams
+    from robogame_tpu.parallel.monte_carlo import McParams, _initial_states
+    from robogame_tpu.physics.engine import step
+
+    dev = jax.devices()[0]
+    B = 2048
+    n_steps = 100          # a 5 s game segment at dt = 0.05
+
+    params = SimParams(dtype="float32", engine="sweep")
+    mc = McParams(num_runs=B, randomize_x0=True)
+    states = _initial_states(params, mc)
+
+    # Piecewise-constant random velocity commands, same flavor as the
+    # golden-trajectory schedules (tools/gen_goldens.py).
+    rng = np.random.default_rng(0)
+    sched = jnp.asarray(
+        np.repeat(rng.uniform(-8, 8, (n_steps // 10, 4, 2)), 10, axis=0),
+        jnp.float32)
+
+    @jax.jit
+    def run(states):
+        def body(s, u):
+            s2 = jax.vmap(lambda st: step(st, u, params))(s)
+            return s2, None
+        final, _ = jax.lax.scan(body, states, sched)
+        return final
+
+    # compile + warm up
+    final = run(states)
+    jax.block_until_ready(final)
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        final = run(states)
+    jax.block_until_ready(final)
+    wall = (time.perf_counter() - t0) / iters
+
+    steps_per_sec = B * n_steps / wall
+    print(json.dumps({
+        "metric": "mc_control_steps_per_sec",
+        "value": round(steps_per_sec, 1),
+        "unit": f"steps/s (B={B} games x {n_steps} steps, {dev.platform})",
+        "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -62,6 +62,22 @@ class SimParams:
     # Numerics
     dtype: str = "float32"             # "float32" on TPU, "float64" for parity
     stochastic: bool = False           # compile the noise path (static flag)
+    # Engine selection:
+    #   "event" -- reference-exact sequential event loop (parity harness)
+    #   "sweep" -- TPU-throughput path: closed-form affine-map propagation,
+    #              parallel resolution of disjoint collision events
+    #              (see physics/sweep.py)
+    engine: str = "event"
+    sweep_iters: int = 12              # event-loop iterations in sweep mode
+                                       # (each resolves up to 5 disjoint
+                                       # events, so ~matches the reference's
+                                       # 50-event cap)
+
+    def __post_init__(self):
+        if self.engine not in ("event", "sweep"):
+            raise ValueError(
+                f"SimParams.engine must be 'event' or 'sweep', "
+                f"got {self.engine!r}")
 
     @property
     def dt_col(self) -> float:

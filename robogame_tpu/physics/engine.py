@@ -199,8 +199,15 @@ def step(state: GameState, controls: jax.Array,
     (the puck input is identically zero, /root/reference/src/GameSim.cpp:188).
     A decided game (score reached winning_score) is a no-op, mirroring the
     ``undecided`` gate in ``GameSim::run`` (/root/reference/src/GameSim.cpp:118-124).
+
+    ``params.engine`` selects the implementation: "event" (this module,
+    reference-exact) or "sweep" (physics/sweep.py, TPU-throughput).
     """
-    new_state = _update_sim(state, controls, params)
+    if params.engine == "sweep":
+        from .sweep import _update_sweep
+        new_state = _update_sweep(state, controls, params)
+    else:
+        new_state = _update_sim(state, controls, params)
     keep = undecided(state, params)
     out = jax.tree.map(lambda n, o: jnp.where(keep, n, o), new_state, state)
     # Time still advances key for reproducibility even when frozen:
