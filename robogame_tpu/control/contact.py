@@ -1,0 +1,111 @@
+"""Bounce-pass planner: initial puck velocity that banks off a wall into
+the adversary goal.
+
+Capability spec: /root/reference/py/src/ContactOptimizer.py.  The reference
+poses a 4-variable NLP (v0, segment durations h0/h1) over the closed-form
+exponential-decay flight model
+
+    v(h) = v0 e^{-h/tau},   p(h) = p0 + tau v0 (1 - e^{-h/tau})
+
+(ContactOptimizer.py:80-86 -- note the *controller* decay 1/tau_puck, not
+the sim's 0.2/tau_puck; the mismatch is intentional and replicated), with a
+wall reset map flipping v_y (71-78), goal-position equality and
+velocity-direction inequalities (88-125), solved with SNOPT.
+
+TPU-native design: the NLP collapses analytically.  Given h0, the wall
+contact condition fixes v0y; the goal y-condition then yields e^{-h1/tau}
+in closed form, and the goal x-condition fixes v0x.  So the feasible set is
+a one-parameter family in h0 -- we evaluate a static grid of h0 candidates
+in parallel (one fused XLA program, no NLP), apply the reference's sign
+constraints as feasibility masks, and return the feasible candidate with
+the smallest total flight time.  Batched over games with ``vmap``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimParams
+
+H0_GRID = 64          # candidate first-segment durations
+
+
+class BouncePlan(NamedTuple):
+    success: jax.Array   # () bool
+    v0: jax.Array        # (2,) initial puck velocity
+    h: jax.Array         # (2,) segment durations (diagnostics)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "which_wall",
+                                             "duration"))
+def bounce_pass_wall(p_puck: jax.Array, p_goal: jax.Array,
+                     which_wall: str, params: SimParams,
+                     duration: float = 3.0) -> BouncePlan:
+    """Equivalent of ``ContactOptimizer.bounce_pass_wall``
+    (/root/reference/py/src/ContactOptimizer.py:15-69).
+
+    ``which_wall``: "up" or "down" (static).
+    """
+    if which_wall not in ("up", "down"):
+        raise ValueError(f"which_wall must be 'up' or 'down', "
+                         f"got {which_wall!r}")
+    dtype = params.jdtype
+    tau = params.tau_puck
+    p0 = jnp.asarray(p_puck, dtype)
+    pg = jnp.asarray(p_goal, dtype)
+    sgn = 1.0 if which_wall == "up" else -1.0
+    wy = sgn * (params.arena_y / 2.0 - params.puck_radius)  # contact y
+                                     # (ContactOptimizer.py:73-75)
+
+    h0 = jnp.linspace(0.02, duration, H0_GRID).astype(dtype)
+    e0 = jnp.exp(-h0 / tau)
+
+    # wall contact: p0y + tau v0y (1 - e0) = wy   ->  v0y(h0)
+    v0y = (wy - p0[1]) / (tau * (1.0 - e0))
+    # after bounce v_ay = -v0y e0; goal y: wy - tau v0y e0 (1 - e1) = pgy
+    one_m_e1 = (wy - pg[1]) / (tau * v0y * e0)
+    e1 = 1.0 - one_m_e1
+    valid_e1 = (e1 > 0.0) & (e1 < 1.0)
+    e1s = jnp.clip(e1, 1e-9, 1.0 - 1e-9)
+    h1 = -tau * jnp.log(e1s)
+    # goal x: p0x + tau v0x (1 - e0 e1) = pgx  ->  v0x(h0)
+    v0x = (pg[0] - p0[0]) / (tau * (1.0 - e0 * e1s))
+
+    # end velocity (for the reference's direction constraints, 88-102)
+    v_end_x = v0x * e0 * e1s
+    v_end_y = -v0y * e0 * e1s
+
+    goal_right = pg[0] > 0
+    feas = (valid_e1 & (h1 > 0) & (h0 + h1 <= duration) &
+            # initial velocity direction box (ContactOptimizer.py:104-125)
+            jnp.where(goal_right, v0x >= 0, v0x <= 0) &
+            (sgn * v0y >= 0) &
+            # end-velocity helper constraints (ContactOptimizer.py:93-102)
+            (-sgn * v_end_y >= 0.1) &
+            jnp.where(goal_right, v_end_x >= 0.1, v_end_x <= -0.1))
+
+    total = jnp.where(feas, h0 + h1, jnp.inf)
+    k = jnp.argmin(total)
+    success = feas[k]
+    v0 = jnp.stack([v0x[k], v0y[k]])
+    return BouncePlan(success=success,
+                      v0=jnp.where(success, v0, jnp.zeros(2, dtype)),
+                      h=jnp.stack([h0[k], h1[k]]))
+
+
+def simulate_bounce(p0, v0, h0, h1, params: SimParams, which_wall: str):
+    """Closed-form two-segment flight under the controller puck model --
+    used by tests to check a plan reaches the goal."""
+    tau = params.tau_puck
+    e0 = jnp.exp(-h0 / tau)
+    p_c = p0 + tau * v0 * (1.0 - e0)
+    v_c = v0 * e0
+    v_a = jnp.stack([v_c[0], -v_c[1]])
+    e1 = jnp.exp(-h1 / tau)
+    p_end = p_c + tau * v_a * (1.0 - e1)
+    v_end = v_a * e1
+    return p_c, p_end, v_end

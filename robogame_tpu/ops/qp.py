@@ -32,18 +32,26 @@ class QpSolution(NamedTuple):
     dual_res: jax.Array    # () final dual residual (inf-norm)
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "scale_rows"))
 def solve_qp(H, g, A, l, u, iters: int = 50, rho: float = 1.0,
              sigma: float = 1e-6, alpha: float = 1.6,
-             tol: float = 1e-3) -> QpSolution:
+             tol: float = 1e-3, scale_rows: bool = False) -> QpSolution:
     """ADMM with over-relaxation.  All arguments may carry leading batch
     dims via ``vmap``; shapes: H (n,n), g (n,), A (m,n), l/u (m,).
 
     Equality rows (l == u) get a 1000x larger rho, following OSQP's
     heuristic, which sharply improves their satisfaction at fixed
-    iteration counts."""
+    iteration counts.  ``scale_rows`` applies OSQP-style row
+    equilibration (unit-norm constraint rows) -- essential when row norms
+    are heterogeneous, as in the linearized keep-out SQPs."""
     n = H.shape[-1]
     dtype = H.dtype
+    if scale_rows:
+        rn = jnp.linalg.norm(A, axis=-1)
+        d = 1.0 / jnp.maximum(rn, 1e-8)
+        A = A * d[:, None]
+        l = l * d
+        u = u * d
     is_eq = (l == u)
     rho_vec = jnp.where(is_eq, 1e3 * rho, rho).astype(dtype)
     sigma = jnp.asarray(sigma, dtype)

@@ -134,3 +134,8 @@ class SimStateView:
     @property
     def scores(self):
         return self._score
+
+    @property
+    def entity_array(self):
+        """(5, 4) entity states in framework row order [A1,A2,B1,B2,PUCK]."""
+        return self._x
