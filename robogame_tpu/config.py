@@ -123,6 +123,12 @@ class MpcParams:
     maxT: float = 5.0 / 20.0           # per-step max (DMPC: 5.0/N)
     w_pos: float = 10.0                # Omega_N_max diag (pos)
     w_vel: float = 20.0                # Omega_N_max diag (vel)
+    u_reg: float = 1e-2                # effort regularization: the
+                                       # reference cost is terminal-only
+                                       # (CentralizedMPC.py:24-27), which
+                                       # leaves the control sequence
+                                       # under-determined; a small ridge
+                                       # picks the smooth solution
     sqp_iters: int = 6                 # fixed SQP outer iterations
     qp_iters: int = 40                 # fixed ADMM iterations per QP
     t_grid: int = 16                   # candidate final-time grid size

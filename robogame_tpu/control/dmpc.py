@@ -1,0 +1,123 @@
+"""Decentralized per-agent MPC (DMPC parity).
+
+Capability spec: /root/reference/py/src/DMPC.py -- per-agent 4-state /
+2-input free-final-time DirectCollocation (N = 20 samples, equal
+intervals, timestep in [dt/N, 5/N]): terminal quadratic cost Omega_N to
+the strategy target (line 24), keep-out constraints vs the other three
+players' *current* positions (27-31), input/arena boxes (66-77),
+AddFinalCost(time) (38), warm start (40-41), SNOPT; returns the first
+input (54).  (The commented-out potential-field consensus algorithm at
+DMPC.py:79-123 is dead code and not reproduced.)
+
+The "decentralized" structure is independent solves against frozen
+neighbor positions -- no message passing (SURVEY.md 3.3) -- so all four
+agents' solves batch perfectly with ``vmap``; on a sharded Monte-Carlo
+batch that is games x agents x T-grid candidates of identical condensed
+QPs running on the MXU simultaneously.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MpcParams, SimParams
+from ..ops.lqsys import condense, exact_ab
+from ..ops.qp import solve_qp
+
+N_NEIGHBORS = 3
+
+
+class DmpcState(NamedTuple):
+    """Warm-start carry (DMPC.py:13-14), one per agent."""
+    U: jax.Array        # (2 N,)
+    valid: jax.Array    # () bool
+
+
+def initial_dmpc_state(mpc: MpcParams, dtype=jnp.float32) -> DmpcState:
+    return DmpcState(U=jnp.zeros((2 * mpc.N,), dtype),
+                     valid=jnp.asarray(False))
+
+
+def _solve_candidate(h, x0, x_des, obs, params: SimParams, mpc: MpcParams,
+                     U0):
+    dtype = x0.dtype
+    N = mpc.N
+    A, B = exact_ab(h, params.tau_player, dtype)
+    phi, gam = condense(A, B, N)
+    nU = 2 * N
+
+    Omega = jnp.diag(jnp.asarray([mpc.w_pos, mpc.w_pos, mpc.w_vel,
+                                  mpc.w_vel], dtype))
+    rowN = slice(4 * (N - 1), 4 * N)
+    gN = gam[rowN]
+    phiN_x0 = phi[rowN] @ x0
+    H = 2.0 * (gN.T @ Omega @ gN + mpc.u_reg * jnp.eye(nU, dtype=dtype))
+    g = 2.0 * gN.T @ Omega @ (phiN_x0 - x_des)
+
+    sel = jnp.zeros((2 * N, 4 * N), dtype)
+    for k in range(N):
+        sel = sel.at[2 * k, 4 * k].set(1.0).at[2 * k + 1, 4 * k + 1].set(1.0)
+    lim = params.input_limit
+    r = params.player_radius
+    box = jnp.tile(jnp.asarray([params.arena_x / 2.0 - r,
+                                params.arena_y / 2.0 - r], dtype), N)
+    sel_gam = sel @ gam
+    off = sel @ (phi @ x0)
+    A_fix = jnp.concatenate([jnp.eye(nU, dtype=dtype), sel_gam], axis=0)
+    lo_fix = jnp.concatenate([-lim * jnp.ones(nU, dtype), -box - off])
+    hi_fix = jnp.concatenate([lim * jnp.ones(nU, dtype), box - off])
+
+    d2 = (2.0 * params.player_radius) ** 2
+    sg = sel_gam.reshape(N, 2, nU)
+    p0p = off.reshape(N, 2)
+
+    def sqp_body(U, _):
+        p_bar = (sel @ (phi @ x0 + gam @ U)).reshape(N, 2)
+        diff = p_bar[None] - obs[:, None]               # (3, N, 2)
+        gval = jnp.sum(diff * diff, -1) - d2
+        rows = 2.0 * jnp.einsum("mnc,ncu->mnu", diff, sg).reshape(-1, nU)
+        rhs = (2.0 * jnp.sum(diff * p_bar[None], -1) - gval -
+               2.0 * jnp.sum(diff * p0p[None], -1)).reshape(-1)
+        A_all = jnp.concatenate([A_fix, rows], axis=0)
+        lo = jnp.concatenate([lo_fix, rhs])
+        hi = jnp.concatenate([hi_fix, jnp.full(rhs.shape, 1e9, dtype)])
+        sol = solve_qp(H, g, A_all, lo, hi, iters=mpc.qp_iters,
+                       scale_rows=True)
+        return sol.x, sol.converged
+
+    U, convs = jax.lax.scan(sqp_body, U0, None, length=mpc.sqp_iters)
+    xN = phiN_x0 + gN @ U
+    err = xN - x_des
+    cost = err @ Omega @ err + N * h
+    return U, cost, convs[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("params", "mpc"))
+def compute_control(state: DmpcState, x0, x_des, obstacles,
+                    params: SimParams, mpc: MpcParams):
+    """Equivalent of ``DMPC.compute_control``
+    (/root/reference/py/src/DMPC.py:16-54).
+
+    x0 (4,), x_des (4,), obstacles (3, 2).  Returns (new state, u (2,)).
+    """
+    dtype = jnp.asarray(x0).dtype
+    obs = jnp.asarray(obstacles, dtype).reshape(N_NEIGHBORS, 2)
+    minT = params.dt * mpc.minT_frac / mpc.N
+    maxT = 5.0 / mpc.N                         # DMPCTeam.py:38
+    hs = jnp.linspace(minT, maxT, mpc.t_grid).astype(dtype)
+
+    U0 = jnp.where(state.valid, state.U, 0.0)
+    Us, costs, convs = jax.vmap(
+        lambda h: _solve_candidate(h, jnp.asarray(x0, dtype),
+                                   jnp.asarray(x_des, dtype), obs, params,
+                                   mpc, U0))(hs)
+    costs = jnp.where(convs, costs, costs + 1e9)
+    k = jnp.argmin(costs)
+    U, ok = Us[k], convs[k]
+    new_state = DmpcState(U=jnp.where(ok, U, state.U),
+                          valid=ok | state.valid)
+    return new_state, U[0:2]

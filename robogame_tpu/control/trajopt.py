@@ -100,8 +100,9 @@ def _fixed_T_qp(x0, xf, h, params: SimParams, N: int,
         hi = jnp.concatenate([hi, tgt])
 
     sol = solve_qp(H, g, A_in, lo, hi, iters=qp_iters)
-    U = sol.x.reshape(N, 2)
-    xN = phiN_x0 + gN @ sol.x
+    # project out residual ADMM box violation (exact, cheap)
+    U = jnp.clip(sol.x.reshape(N, 2), -lim, lim)
+    xN = phiN_x0 + gN @ U.reshape(-1)
     return U, xN, sol.converged
 
 

@@ -53,39 +53,59 @@ def solve_qp(H, g, A, l, u, iters: int = 50, rho: float = 1.0,
         l = l * d
         u = u * d
     is_eq = (l == u)
-    rho_vec = jnp.where(is_eq, 1e3 * rho, rho).astype(dtype)
     sigma = jnp.asarray(sigma, dtype)
     alpha = jnp.asarray(alpha, dtype)
+    eyeN = jnp.eye(n, dtype=dtype)
 
-    K = (H + sigma * jnp.eye(n, dtype=dtype) +
-         (A.T * rho_vec[None, :]) @ A)
-    chol = jnp.linalg.cholesky(K)
+    # initial rho scaled to the cost curvature (OSQP heuristic flavor):
+    # a rho far from the Hessian scale stalls either residual
+    rho0 = jnp.clip(jnp.trace(H) / n, 1e-3, 1e6) * rho
 
-    def solve_K(rhs):
-        y = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
-        return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+    def run_segment(carry, seg_iters):
+        x, z, y, rho_s = carry
+        rho_vec = jnp.where(is_eq, 1e3 * rho_s, rho_s).astype(dtype)
+        K = H + sigma * eyeN + (A.T * rho_vec[None, :]) @ A
+        chol = jnp.linalg.cholesky(K)
+
+        def solve_K(rhs):
+            t = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
+            return jax.scipy.linalg.solve_triangular(chol.T, t, lower=False)
+
+        def body(c, _):
+            x, z, y = c
+            rhs = sigma * x - g + A.T @ (rho_vec * z - y)
+            x_new = solve_K(rhs)
+            Ax = A @ x_new
+            z_tilde = alpha * Ax + (1 - alpha) * z
+            z_new = jnp.clip(z_tilde + y / rho_vec, l, u)
+            y_new = y + rho_vec * (z_tilde - z_new)
+            return (x_new, z_new, y_new), None
+
+        (x, z, y), _ = lax.scan(body, (x, z, y), None, length=seg_iters)
+        # adaptive rho update (OSQP §5.2): balance the residual ratio
+        Ax = A @ x
+        prim = jnp.max(jnp.abs(Ax - z))
+        dual = jnp.max(jnp.abs(H @ x + g + A.T @ y))
+        p_sc = jnp.maximum(jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(z))) + 1e-9
+        d_sc = jnp.maximum(jnp.maximum(jnp.max(jnp.abs(H @ x)),
+                                       jnp.max(jnp.abs(A.T @ y))),
+                           jnp.max(jnp.abs(g))) + 1e-9
+        ratio = jnp.sqrt((prim / p_sc) / (dual / d_sc + 1e-12))
+        rho_new = jnp.clip(rho_s * jnp.clip(ratio, 0.2, 5.0), 1e-6, 1e8)
+        return (x, z, y, rho_new), (prim, dual, p_sc, d_sc)
 
     x0 = jnp.zeros((n,), dtype)
     z0 = jnp.zeros(A.shape[:-1], dtype)
     y0 = jnp.zeros_like(z0)
+    n_seg = 4
+    seg_iters = max(1, iters // n_seg)
+    carry = (x0, z0, y0, rho0)
+    for _ in range(n_seg):
+        carry, res = run_segment(carry, seg_iters)
+    x, z, y, _ = carry
+    prim, dual, p_sc, d_sc = res
 
-    def body(carry, _):
-        x, z, y = carry
-        rhs = sigma * x - g + A.T @ (rho_vec * z - y)
-        x_new = solve_K(rhs)
-        Ax = A @ x_new
-        z_tilde = alpha * Ax + (1 - alpha) * z
-        z_new = jnp.clip(z_tilde + y / rho_vec, l, u)
-        y_new = y + rho_vec * (z_tilde - z_new)
-        return (x_new, z_new, y_new), None
-
-    (x, z, y), _ = lax.scan(body, (x0, z0, y0), None, length=iters)
-
-    Ax = A @ x
-    prim = jnp.max(jnp.abs(Ax - z))
-    dual = jnp.max(jnp.abs(H @ x + g + A.T @ y))
-    scale = 1.0 + jnp.max(jnp.abs(g)) + jnp.max(jnp.abs(Ax))
-    conv = (prim < tol * scale) & (dual < tol * scale * 10.0)
+    conv = (prim < tol * p_sc) & (dual < 10.0 * tol * d_sc)
     return QpSolution(x=x, converged=conv, prim_res=prim, dual_res=dual)
 
 

@@ -23,6 +23,7 @@ from jax import lax
 
 from ..config import SimParams
 from ..physics.engine import step
+from ..physics.rollout import log_record
 from ..state import GameState, initial_state
 from .mesh import batch_sharding, make_mesh, shard_batch
 
@@ -85,7 +86,7 @@ def _run_batch(states: GameState, params: SimParams, n_steps: int,
         else:
             ps2, u = policy(ps, s)
         s2 = jax.vmap(lambda st, uu: step(st, uu, params))(s, u)
-        rec = (s2.x[:, :, :2], s2.score) if log else None
+        rec = jax.vmap(log_record)(s2) if log else None
         return (s2, ps2), rec
 
     (final, _), recs = lax.scan(body, (states, policy_state), None,

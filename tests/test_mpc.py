@@ -1,0 +1,105 @@
+"""Tests for the centralized (CMPC) and decentralized (DMPC) MPC stack."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robogame_tpu import GameSim, SimParams, SimStateView
+from robogame_tpu.config import MpcParams, StrategyParams
+from robogame_tpu.agents.centralized import (CentralizedTeam, OFFENSE,
+                                             target_states, team_step as
+                                             cmpc_team_step)
+from robogame_tpu.agents.dmpc_team import (DMPCTeam, initial_team_state,
+                                           select_play, team_step as
+                                           dmpc_team_step)
+from robogame_tpu.control.cmpc import initial_cmpc_state
+from robogame_tpu.control import cmpc, dmpc
+from robogame_tpu.state import initial_state
+
+PARAMS = SimParams(dtype="float64")
+# small horizon/grid keeps test compile+solve times reasonable
+MPC = MpcParams(N=10, t_grid=4, sqp_iters=2, qp_iters=80)
+STRAT = StrategyParams()
+
+
+def test_dmpc_drives_toward_target():
+    cs = dmpc.initial_dmpc_state(MPC, jnp.float64)
+    x0 = jnp.asarray([-2.0, 0.0, 0.0, 0.0])
+    x_des = jnp.asarray([2.0, 0.0, 0.0, 0.0])
+    obs = jnp.asarray([[4.0, 2.0], [4.0, -2.0], [-4.0, 2.0]])  # far away
+    cs, u = dmpc.compute_control(cs, x0, x_des, obs, PARAMS, MPC)
+    assert bool(cs.valid)
+    assert float(u[0]) > 0.5                 # accelerates toward target
+    assert np.abs(np.asarray(u)).max() <= PARAMS.input_limit + 1e-6
+
+
+def test_dmpc_warm_start_carries():
+    cs = dmpc.initial_dmpc_state(MPC, jnp.float64)
+    x0 = jnp.asarray([-2.0, 0.0, 0.0, 0.0])
+    x_des = jnp.asarray([2.0, 0.0, 0.0, 0.0])
+    obs = jnp.asarray([[4.0, 2.0], [4.0, -2.0], [-4.0, 2.0]])
+    cs1, u1 = dmpc.compute_control(cs, x0, x_des, obs, PARAMS, MPC)
+    cs2, u2 = dmpc.compute_control(cs1, x0, x_des, obs, PARAMS, MPC)
+    assert bool(cs2.valid)
+    # warm-started resolve of the same problem is consistent
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=0.5)
+
+
+def test_cmpc_joint_solve():
+    cs = initial_cmpc_state(MPC, jnp.float64)
+    x0_p1 = jnp.asarray([-2.0, 1.0, 0.0, 0.0])
+    x0_p2 = jnp.asarray([-2.0, -1.0, 0.0, 0.0])
+    xf_p1 = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    xf_p2 = jnp.asarray([1.0, -1.0, 0.0, 0.0])
+    obstacles = jnp.asarray([[4.0, 2.0], [4.0, -2.0]])
+    cs, u1, u2 = cmpc.compute_control(cs, x0_p1, x0_p2, xf_p1, xf_p2,
+                                      obstacles, PARAMS, MPC)
+    assert bool(cs.valid)
+    assert float(u1[0]) > 0.5 and float(u2[0]) > 0.5
+
+
+def test_centralized_targets():
+    x_att, x_def = target_states(jnp.asarray(OFFENSE, jnp.int32),
+                                 jnp.asarray([2.0, 0.0]), -1, PARAMS)
+    # attacker: reach puck with v_hit toward the right goal
+    np.testing.assert_allclose(np.asarray(x_att[0:2]), [2.0, 0.0])
+    assert float(x_att[2]) > 4.0             # v_hit = 5 toward +x
+    # defender: puck on opponent side (field=-1 -> home x<0, puck x>0)
+    # -> offense defender also attacks
+    np.testing.assert_allclose(np.asarray(x_def), np.asarray(x_att))
+
+
+def test_dmpc_play_always_offense_with_reference_constants():
+    """The reference thresholds are unreachable (DMPCTeam.py:82-87);
+    see agents/dmpc_team.py docstring."""
+    for px in (-4.9, 0.0, 4.9):
+        for vx in (-8.0, 0.0, 8.0):
+            p = select_play(jnp.asarray([px, 0.0, vx, 0.0]), 1, PARAMS,
+                            STRAT)
+            assert int(p) == 0
+
+
+def test_team_steps_run():
+    s = initial_state(PARAMS, x0_puck=[1.0, 0.5, 0.0, 0.0])
+    cs = initial_cmpc_state(MPC, jnp.float64)
+    cs, u = cmpc_team_step(cs, s.x, jnp.asarray(OFFENSE, jnp.int32), -1,
+                           PARAMS, MPC)
+    assert np.isfinite(np.asarray(u)).all()
+    ts = initial_team_state(MPC, jnp.float64)
+    ts, u2 = dmpc_team_step(ts, s.x, 1, PARAMS, MPC, STRAT)
+    assert np.isfinite(np.asarray(u2)).all()
+    assert np.abs(np.asarray(u2)).max() <= PARAMS.input_limit + 1e-6
+
+
+def test_host_wrappers_run_short_game():
+    params = SimParams(dtype="float64", engine="sweep")
+    sim = GameSim(params)
+    vec = sim.reset(dt=0.05, winning_score=3, x0_ball=[0.0, 0.0, 0.0, 0.0])
+    home = CentralizedTeam(params, -1, mpc=MPC)
+    away = DMPCTeam(params, 1, mpc=MPC)
+    for _ in range(3):
+        view = SimStateView(vec)
+        vA1, vA2 = home.run(view)
+        vB1, vB2 = away.execute(view)
+        vec = sim.run(vA1, vA2, vB1, vB2)
+    assert np.isfinite(vec).all()
