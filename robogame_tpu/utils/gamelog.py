@@ -28,17 +28,39 @@ RECORD_FIELDS = 29
 
 
 class GameLogWriter:
-    def __init__(self, path: str):
-        self._f = open(path, "wb")
+    """Binary log writer.  Uses the native async C++ logger
+    (robogame_tpu/native/logger.cpp) when the toolchain is available so
+    host control loops never block on disk; falls back to a synchronous
+    numpy writer otherwise.  Pass ``native=False`` to force the fallback."""
+
+    def __init__(self, path: str, native: bool = True):
+        self._native = None
+        if native:
+            try:
+                from ..native import NativeLogger, available
+                if available():
+                    self._native = NativeLogger(path)
+            except Exception:
+                self._native = None
+        self._f = None if self._native else open(path, "wb")
 
     def write_row(self, row: np.ndarray):
-        np.asarray(row, dtype="<f8").reshape(-1).tofile(self._f)
+        if self._native:
+            self._native.write(row)
+        else:
+            np.asarray(row, dtype="<f8").reshape(-1).tofile(self._f)
 
     def write_rows(self, rows: np.ndarray):
-        np.asarray(rows, dtype="<f8").tofile(self._f)
+        if self._native:
+            self._native.write(rows)
+        else:
+            np.asarray(rows, dtype="<f8").tofile(self._f)
 
     def close(self):
-        if not self._f.closed:
+        if self._native:
+            self._native.close()
+            self._native = None
+        elif self._f is not None and not self._f.closed:
             self._f.close()
 
     def __enter__(self):
