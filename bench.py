@@ -28,13 +28,13 @@ REFERENCE_STEPS_PER_SEC = 18_000.0  # compiled C++ reference, 1 CPU core
 def main():
     from robogame_tpu.config import SimParams
     from robogame_tpu.parallel.monte_carlo import McParams, _initial_states
-    from robogame_tpu.physics.engine import step
+    from robogame_tpu.physics.pallas_step import step_pallas_batch
 
     dev = jax.devices()[0]
     B = 2048
     n_steps = 100          # a 5 s game segment at dt = 0.05
 
-    params = SimParams(dtype="float32", engine="sweep")
+    params = SimParams(dtype="float32", engine="pallas")
     mc = McParams(num_runs=B, randomize_x0=True)
     states = _initial_states(params, mc)
 
@@ -48,8 +48,8 @@ def main():
     @jax.jit
     def run(states):
         def body(s, u):
-            s2 = jax.vmap(lambda st: step(st, u, params))(s)
-            return s2, None
+            u_b = jnp.broadcast_to(u, (B, 4, 2))
+            return step_pallas_batch(s, u_b, params), None
         final, _ = jax.lax.scan(body, states, sched)
         return final
 

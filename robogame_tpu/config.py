@@ -63,10 +63,14 @@ class SimParams:
     dtype: str = "float32"             # "float32" on TPU, "float64" for parity
     stochastic: bool = False           # compile the noise path (static flag)
     # Engine selection:
-    #   "event" -- reference-exact sequential event loop (parity harness)
-    #   "sweep" -- TPU-throughput path: closed-form affine-map propagation,
-    #              parallel resolution of disjoint collision events
-    #              (see physics/sweep.py)
+    #   "event"  -- reference-exact sequential event loop (parity harness)
+    #   "sweep"  -- TPU-throughput XLA path: closed-form affine-map
+    #               propagation, parallel resolution of disjoint collision
+    #               events (physics/sweep.py)
+    #   "pallas" -- the sweep algorithm as one fused Pallas TPU kernel,
+    #               batch in lanes, whole step in VMEM (~40x the sweep
+    #               path at B=2048; physics/pallas_step.py). Deterministic
+    #               only; falls back to "sweep" when stochastic.
     engine: str = "event"
     sweep_iters: int = 12              # event-loop iterations in sweep mode
                                        # (each resolves up to 5 disjoint
@@ -74,9 +78,9 @@ class SimParams:
                                        # 50-event cap)
 
     def __post_init__(self):
-        if self.engine not in ("event", "sweep"):
+        if self.engine not in ("event", "sweep", "pallas"):
             raise ValueError(
-                f"SimParams.engine must be 'event' or 'sweep', "
+                f"SimParams.engine must be 'event', 'sweep' or 'pallas', "
                 f"got {self.engine!r}")
 
     @property

@@ -85,7 +85,11 @@ def _run_batch(states: GameState, params: SimParams, n_steps: int,
             ps2 = ps
         else:
             ps2, u = policy(ps, s)
-        s2 = jax.vmap(lambda st, uu: step(st, uu, params))(s, u)
+        if params.engine == "pallas" and not params.stochastic:
+            from ..physics.pallas_step import step_pallas_batch
+            s2 = step_pallas_batch(s, u, params)
+        else:
+            s2 = jax.vmap(lambda st, uu: step(st, uu, params))(s, u)
         rec = jax.vmap(log_record)(s2) if log else None
         return (s2, ps2), rec
 

@@ -203,7 +203,15 @@ def step(state: GameState, controls: jax.Array,
     ``params.engine`` selects the implementation: "event" (this module,
     reference-exact) or "sweep" (physics/sweep.py, TPU-throughput).
     """
-    if params.engine == "sweep":
+    if params.engine == "pallas" and not params.stochastic:
+        # the pallas kernel is natively batched; single-state calls wrap
+        # into a batch of one (padded to a 128-lane tile internally)
+        from .pallas_step import step_pallas_batch
+        batched = jax.tree.map(lambda a: a[None], state)
+        out = step_pallas_batch(batched, jnp.asarray(controls)[None],
+                                params)
+        return jax.tree.map(lambda a: a[0], out)
+    if params.engine in ("sweep", "pallas"):
         from .sweep import _update_sweep
         new_state = _update_sweep(state, controls, params)
     else:

@@ -1,0 +1,592 @@
+"""Pallas TPU mega-kernel for the sweep game step.
+
+The sweep engine (physics/sweep.py) is already structured for TPU, but as
+an XLA op graph every one of its ~10^2 small ops per event-loop iteration
+round-trips (B, ...) tensors through HBM.  This kernel runs the ENTIRE
+control step -- closed-form grid populate, collision detection, parallel
+disjoint-event resolution, tail re-propagation -- inside VMEM, with the
+game batch laid out along the 128-wide lane dimension:
+
+* one tile = 128 games; the per-tile working set (the 51-column sub-step
+  grid, stored as 20 per-component (G+1, 128) VMEM buffers) lives on-chip
+  for the whole step;
+* grid populate and post-collision tail re-propagation are per-component
+  MXU matmuls against a precomputed affine table [Fpow | Spow] (RK4 on
+  the LTI dynamics is a constant affine map, see sweep.py) --
+  re-propagation from a per-lane base column b uses the algebraic identity
+  x_k = Fpow[k] z + Spow[k] u with z = Finvpow[b] (x_b - Spow[b] u), so a
+  lane-varying re-propagation start needs no lane-varying matrix;
+* all event bookkeeping (selection, impulses, wall flips, scoring) is
+  elementwise over lanes; "gathers" are one-hot masked sums over columns.
+
+Mosaic lowering constraints shaped the implementation: no scatter ops
+(static per-row updates instead), no rank>1 bool tensors (f32 0/1 masks),
+no reductions over offset-layout slices (hence the per-component 2D
+buffers and pltpu.roll for predecessor columns).
+
+Semantics match physics/sweep.py with one simplification: slots are fully
+re-detected every iteration (the sweep engine keeps stale slots for
+untouched entities; a full re-detect over unchanged columns returns the
+same slot, so the difference only reorders rare multi-collision pileups).
+Noise (SimParams.stochastic) is not supported -- use engine="sweep".
+
+Reference capability spec: GameSim::updateSim
+(/root/reference/src/GameSim.cpp:126-171) -- constants and quirks as in
+engine.py / sweep.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import PUCK, SimParams
+from ..state import GameState, undecided
+from .sweep import _affine_tables_np, _substep_affine_np
+
+TILE = 128
+_INF = 1.0e9
+NC = 20      # state components: 5 entities x 4
+
+
+# ---------------------------------------------------------------------------
+# Compile-time constant tables
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _tables(key):
+    params = SimParams(**dict(key))
+    G = params.grid_points
+    Fpow, Spow, _ = _affine_tables_np(params)      # (G+1,5,4,4), (G+1,5,4,2)
+    F, _, _ = _substep_affine_np(params)
+    Finv = np.stack([np.linalg.inv(F[e]) for e in range(5)])
+    Finvpow = np.zeros((G + 1, 5, 4, 4))
+    Finvpow[0] = np.eye(4)
+    for d in range(1, G + 1):
+        Finvpow[d] = np.einsum("eij,ejk->eik", Finv, Finvpow[d - 1])
+
+    # per-component affine tables: M[c] (G+1, 32) maps [x(20);u(10);pad2]
+    # to grid column values of component c = e*4 + i
+    M = np.zeros((NC, G + 1, 32))
+    for e in range(5):
+        for i in range(4):
+            c = e * 4 + i
+            M[c, :, e * 4:e * 4 + 4] = Fpow[:, e, i, :]
+            M[c, :, 20 + e * 2:20 + e * 2 + 2] = Spow[:, e, i, :]
+    # z tables, pre-transposed: FI (80, G+1), SP (40, G+1)
+    FI = Finvpow.reshape(G + 1, 80).T.copy()
+    SP = Spow.reshape(G + 1, 40).T.copy()
+    return (M.astype(np.float32), FI.astype(np.float32),
+            SP.astype(np.float32))
+
+
+def _table_key(params: SimParams):
+    return (("dt", params.dt), ("grid_points", params.grid_points),
+            ("tau_player", params.tau_player),
+            ("tau_puck", params.tau_puck))
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+def _make_kernel(params: SimParams):
+    G = params.grid_points
+    dt = params.dt
+    dtcol = params.dt_col
+    halfx = params.arena_x / 2.0
+    halfy = params.arena_y / 2.0
+    gh2 = params.goal_height / 2.0
+    buf = params.overlap_buffer
+    radii = params.radii
+    masses = params.masses
+    taus = params.taus
+    drags = params.drags
+    iters = params.sweep_iters
+    E = 5
+
+    def kernel(M_ref, FI_ref, SP_ref, x_ref, u_ref,
+               xout_ref, aux_ref, *gc):
+        # gc: NC scratch buffers, each (G+1, TILE) -- grid component planes
+        z0 = jnp.concatenate(
+            [x_ref[:], u_ref[:], jnp.zeros((2, TILE), jnp.float32)], axis=0)
+        for c in range(NC):
+            gc[c][:] = jnp.dot(M_ref[c], z0,
+                               preferred_element_type=jnp.float32)
+
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (G + 1, TILE), 0)
+        kcol_f = kcol.astype(jnp.float32)
+        col_ok = kcol >= 1
+
+        def _prev(slab):
+            return pltpu.roll(slab, 1, axis=0)
+
+        def detect(base):
+            """First qualifying collision per entity; base (E,TILE) i32.
+            Returns lists (len E) of (TILE,): t, j, ctype, valid."""
+            t_list, j_list, c_list, v_list = [], [], [], []
+            for e in range(E):
+                px = gc[e * 4 + 0][:]
+                py = gc[e * 4 + 1][:]
+                px_m = _prev(px)
+                py_m = _prev(py)
+                vx_m = _prev(gc[e * 4 + 2][:])
+                vy_m = _prev(gc[e * 4 + 3][:])
+                r = radii[e]
+                t_m = (kcol_f - 1.0) * dtcol
+
+                best_t = jnp.full((G + 1, TILE), _INF, jnp.float32)
+                best_c = jnp.zeros((G + 1, TILE), jnp.float32)
+                best_j = jnp.full((G + 1, TILE), -1.0, jnp.float32)
+
+                def consider(tc, cid, jid):
+                    nonlocal best_t, best_c, best_j
+                    better = tc < best_t
+                    best_c = jnp.where(better, float(cid), best_c)
+                    best_j = jnp.where(better, float(jid), best_j)
+                    best_t = jnp.where(better, tc, best_t)
+
+                # walls (check order UP, DOWN, RIGHT, LEFT = ctype 0..3)
+                for cid, (pk, pm, vm, sgn, bound) in enumerate([
+                        (py, py_m, vy_m, 1.0, halfy),
+                        (py, py_m, vy_m, -1.0, halfy),
+                        (px, px_m, vx_m, 1.0, halfx),
+                        (px, px_m, vx_m, -1.0, halfx)]):
+                    overlap = sgn * pk + r >= bound
+                    approach = sgn * vm > 0
+                    den = jnp.where(vm == 0, 1.0, vm)
+                    tau = jnp.maximum(0.0, ((bound - r) * sgn - pm) / den)
+                    tc = jnp.where(overlap & approach & (vm != 0),
+                                   t_m + tau, _INF)
+                    consider(tc, cid, -1)
+
+                # partners, ascending entity order
+                for o in range(E):
+                    if o == e:
+                        continue
+                    qx = gc[o * 4 + 0][:]
+                    qy = gc[o * 4 + 1][:]
+                    qx_m = _prev(qx)
+                    qy_m = _prev(qy)
+                    wx_m = _prev(gc[o * 4 + 2][:])
+                    wy_m = _prev(gc[o * 4 + 3][:])
+                    sig = r + radii[o]
+                    dxk = qx - px
+                    dyk = qy - py
+                    over = dxk * dxk + dyk * dyk <= sig * sig
+                    dxm = qx_m - px_m
+                    dym = qy_m - py_m
+                    dvx = wx_m - vx_m
+                    dvy = wy_m - vy_m
+                    b = dxm * dvx + dym * dvy
+                    dvv = dvx * dvx + dvy * dvy
+                    dpp = dxm * dxm + dym * dym
+                    disc = b * b - dvv * (dpp - sig * sig)
+                    ok = over & (b < 0) & (disc >= 0) & (dvv > 0)
+                    den = jnp.where(dvv == 0, 1.0, dvv)
+                    tau = jnp.maximum(
+                        0.0, -(b + jnp.sqrt(jnp.maximum(disc, 0.0))) / den)
+                    tc = jnp.where(ok, t_m + tau, _INF)
+                    consider(tc, 4, o)
+
+                qual = (best_t < dt) & col_ok & (kcol >= base[e][None, :])
+                kfirst = jnp.min(jnp.where(qual, kcol, G + 1), axis=0)
+                found = kfirst <= G
+                oh = jnp.where(kcol == kfirst[None, :], 1.0, 0.0)
+                sel_t = jnp.sum(best_t * oh, axis=0)
+                sel_c = jnp.sum(best_c * oh, axis=0).astype(jnp.int32)
+                sel_j = jnp.sum(best_j * oh, axis=0).astype(jnp.int32)
+                t_list.append(jnp.where(found, sel_t, _INF))
+                c_list.append(jnp.where(found, sel_c, 0))
+                j_list.append(jnp.where(found, sel_j, -1))
+                v_list.append(found)
+            return t_list, j_list, c_list, v_list
+
+        def gather_cols(km1):
+            """All NC component values at per-lane column km1: list of
+            (TILE,)."""
+            oh = jnp.where(kcol == km1[None, :], 1.0, 0.0)
+            return [jnp.sum(gc[c][:] * oh, axis=0) for c in range(NC)]
+
+        def rk4(px, py, vx, vy, ux, uy, tau, drag, h):
+            def f(vx_, vy_):
+                return ((ux - drag * vx_) / tau, (uy - drag * vy_) / tau)
+            a1x, a1y = f(vx, vy)
+            k1 = (vx, vy, a1x, a1y)
+            a2x, a2y = f(vx + a1x * h / 2, vy + a1y * h / 2)
+            k2 = (vx + a1x * h / 2, vy + a1y * h / 2, a2x, a2y)
+            a3x, a3y = f(vx + a2x * h / 2, vy + a2y * h / 2)
+            k3 = (vx + a2x * h / 2, vy + a2y * h / 2, a3x, a3y)
+            a4x, a4y = f(vx + a3x * h, vy + a3y * h)
+            k4 = (vx + a3x * h, vy + a3y * h, a4x, a4y)
+            out = []
+            for comp in range(4):
+                d = (k1[comp] + 2 * k2[comp] + 2 * k3[comp] +
+                     k4[comp]) * (h / 6.0)
+                out.append((px, py, vx, vy)[comp] + d)
+            return out
+
+        def body(it, carry):
+            scored_f, incA, incB, dmg, base = carry
+            scored = scored_f > 0.5
+            st, sj, sc, sv = detect(base)
+
+            # --- selection: local-min over the conflict graph ------------
+            te = [jnp.where(sv[a], st[a], _INF) for a in range(E)]
+            is_pair = [sc[a] == 4 for a in range(E)]
+            jj = [jnp.where(is_pair[a], sj[a], a) for a in range(E)]
+            inv = [[(a == ent) | (is_pair[a] & (jj[a] == ent))
+                    for ent in range(E)] for a in range(E)]
+            take = []
+            for a in range(E):
+                beaten = jnp.zeros((TILE,), bool)
+                for b in range(E):
+                    if b == a:
+                        continue
+                    share = jnp.zeros((TILE,), bool)
+                    for ent in range(E):
+                        share = share | (inv[a][ent] & inv[b][ent])
+                    conf = share & sv[a] & sv[b]
+                    earlier = conf & ((te[b] < te[a]) |
+                                      ((te[b] == te[a]) & (b < a)))
+                    beaten = beaten | earlier
+                take.append(sv[a] & ~beaten)
+
+            puck_inv = [(a == PUCK) | (is_pair[a] & (jj[a] == PUCK))
+                        for a in range(E)]
+            live = [take[a] & ~(puck_inv[a] & scored) for a in range(E)]
+
+            # --- resolve all live slots (slot index == entity i) ---------
+            ent_val = [None] * E
+            ent_base = [None] * E
+            ent_claim = [jnp.zeros((TILE,), bool) for _ in range(E)]
+            ent_ctype = [None] * E
+            ent_pair = [None] * E      # f32 0/1
+            ent_partner = [None] * E
+            new_scored = scored
+            any_goalA = jnp.zeros((TILE,), bool)
+            any_goalB = jnp.zeros((TILE,), bool)
+            dmg_rows = [dmg[r] for r in range(16)]
+
+            for a in range(E):
+                km1 = jnp.clip((te[a] / dtcol).astype(jnp.int32), 0, G - 1)
+                basea = km1 + 1
+                cols = gather_cols(km1)
+                xi = [cols[a * 4 + c] for c in range(4)]
+                moh = [jnp.where(jj[a] == o, 1.0, 0.0) for o in range(E)]
+                xjv = [sum(moh[o] * cols[o * 4 + c] for o in range(E))
+                       for c in range(4)]
+                tau_j = sum(moh[o] * taus[o] for o in range(E))
+                drag_j = sum(moh[o] * drags[o] for o in range(E))
+                r_j = sum(moh[o] * radii[o] for o in range(E))
+                m_j = sum(moh[o] * masses[o] for o in range(E))
+                u_i = (u_ref[a * 2], u_ref[a * 2 + 1])
+                u_jx = sum(moh[o] * u_ref[o * 2] for o in range(E))
+                u_jy = sum(moh[o] * u_ref[o * 2 + 1] for o in range(E))
+
+                dt_t = jnp.clip(te[a] - km1.astype(jnp.float32) * dtcol,
+                                0.0, dtcol)
+                xi_t = rk4(*xi, *u_i, taus[a], drags[a], dt_t)
+                xj_t = rk4(*xjv, u_jx, u_jy, tau_j, drag_j, dt_t)
+
+                r_i, m_i = radii[a], masses[a]
+                # pair: de-penetrate (1.01) + elastic impulse
+                pijx = xj_t[0] - xi_t[0]
+                pijy = xj_t[1] - xi_t[1]
+                pn = jnp.sqrt(pijx * pijx + pijy * pijy)
+                ovl = r_i + r_j - pn
+                app = ovl > 0
+                rsum = jnp.where(r_i + r_j > 0, r_i + r_j, 1.0)
+                ci = jnp.where(app, 1.01 * r_i / rsum * ovl, 0.0)
+                cj = jnp.where(app, 1.01 * r_j / rsum * ovl, 0.0)
+                p_ix = xi_t[0] - ci * pijx
+                p_iy = xi_t[1] - ci * pijy
+                p_jx = xj_t[0] + cj * pijx
+                p_jy = xj_t[1] + cj * pijy
+                d12x = p_ix - p_jx
+                d12y = p_iy - p_jy
+                den = d12x * d12x + d12y * d12y
+                den = jnp.where(den > 0, den, 1.0)
+                rvx = xi_t[2] - xj_t[2]
+                rvy = xi_t[3] - xj_t[3]
+                dot = (rvx * d12x + rvy * d12y) / den
+                msum = m_i + m_j
+                vi_nx = xi_t[2] - 2.0 * m_j / msum * dot * d12x
+                vi_ny = xi_t[3] - 2.0 * m_j / msum * dot * d12y
+                vj_nx = xj_t[2] + 2.0 * m_i / msum * dot * d12x
+                vj_ny = xj_t[3] + 2.0 * m_i / msum * dot * d12y
+
+                dmg_on = (live[a] & is_pair[a] & (a != PUCK) &
+                          (jj[a] != PUCK))
+                dv2 = 0.01 * (rvx * rvx + rvy * rvy)
+                if a != PUCK:
+                    for o in range(4):
+                        m = dmg_on & (jj[a] == o)
+                        dmg_rows[a * 4 + o] = dmg_rows[a * 4 + o] + \
+                            jnp.where(m, m_i * dv2, 0.0)
+                        dmg_rows[o * 4 + a] = dmg_rows[o * 4 + a] + \
+                            jnp.where(m, m_j * dv2, 0.0)
+
+                # wall: sign-conditioned flip + goal
+                ct = sc[a]
+                flip_y = (((ct == 0) & (xi_t[3] > 0)) |
+                          ((ct == 1) & (xi_t[3] < 0)))
+                flip_x = (((ct == 2) & (xi_t[2] > 0)) |
+                          ((ct == 3) & (xi_t[2] < 0)))
+                w_vx = jnp.where(flip_x, -xi_t[2], xi_t[2])
+                w_vy = jnp.where(flip_y, -xi_t[3], xi_t[3])
+
+                goal = jnp.zeros((TILE,), bool)
+                if a == PUCK:
+                    goal = ((~is_pair[a]) & ((ct == 2) | (ct == 3)) &
+                            (xi_t[1] < gh2) & (xi_t[1] > -gh2) & live[a])
+                    any_goalA = any_goalA | (goal & ~scored & (ct == 2))
+                    any_goalB = any_goalB | (goal & ~scored & (ct == 3))
+                    new_scored = new_scored | goal
+
+                xi_res = [jnp.where(is_pair[a], p_ix, xi_t[0]),
+                          jnp.where(is_pair[a], p_iy, xi_t[1]),
+                          jnp.where(is_pair[a], vi_nx, w_vx),
+                          jnp.where(is_pair[a], vi_ny, w_vy)]
+                xj_res = [p_jx, p_jy, vj_nx, vj_ny]
+                rem = dtcol - dt_t
+                xi_b = rk4(*xi_res, *u_i, taus[a], drags[a], rem)
+                xj_b = rk4(*xj_res, u_jx, u_jy, tau_j, drag_j, rem)
+                # base-column overlap corrections
+                pbx = xj_b[0] - xi_b[0]
+                pby = xj_b[1] - xi_b[1]
+                pn2 = jnp.sqrt(pbx * pbx + pby * pby)
+                ov2 = r_i + r_j - pn2
+                ap2 = ov2 > 0
+                ci2 = jnp.where(ap2, buf * r_i / rsum * ov2, 0.0)
+                cj2 = jnp.where(ap2, buf * r_j / rsum * ov2, 0.0)
+                xi_b_pair = [xi_b[0] - ci2 * pbx, xi_b[1] - ci2 * pby,
+                             xi_b[2], xi_b[3]]
+                xj_b = [xj_b[0] + cj2 * pbx, xj_b[1] + cj2 * pby,
+                        xj_b[2], xj_b[3]]
+                ovw = [xi_b[1] + r_i - halfy, -xi_b[1] + r_i - halfy,
+                       xi_b[0] + r_i - halfx, -xi_b[0] + r_i - halfx]
+                dirx = [0.0, 0.0, -1.0, 1.0]
+                diry = [-1.0, 1.0, 0.0, 0.0]
+                cwx = jnp.zeros((TILE,), jnp.float32)
+                cwy = jnp.zeros((TILE,), jnp.float32)
+                for w in range(4):
+                    on = (ct == w) & (ovw[w] > 0)
+                    cwx = cwx + jnp.where(on, buf * ovw[w] * dirx[w], 0.0)
+                    cwy = cwy + jnp.where(on, buf * ovw[w] * diry[w], 0.0)
+                xi_b_wall = [xi_b[0] + cwx, xi_b[1] + cwy, xi_b[2], xi_b[3]]
+                xi_base = [jnp.where(is_pair[a], xi_b_pair[c],
+                                     jnp.where(goal, 0.0, xi_b_wall[c]))
+                           for c in range(4)]
+
+                # --- claim entities -------------------------------------
+                cl = live[a]
+                ent_claim[a] = ent_claim[a] | cl
+
+                def upd(prev, new, mask):
+                    return new if prev is None else [
+                        jnp.where(mask, new[c], prev[c])
+                        for c in range(4)]
+
+                if ent_val[a] is None:
+                    ent_val[a] = [jnp.where(cl, v, 0.0) for v in xi_base]
+                    ent_base[a] = jnp.where(cl, basea, 0)
+                    ent_ctype[a] = jnp.where(cl, ct, 0)
+                    ent_pair[a] = jnp.where(is_pair[a] & cl, 1.0, 0.0)
+                    ent_partner[a] = jnp.where(cl, jj[a], a)
+                else:
+                    ent_val[a] = [jnp.where(cl, xi_base[c], ent_val[a][c])
+                                  for c in range(4)]
+                    ent_base[a] = jnp.where(cl, basea, ent_base[a])
+                    ent_ctype[a] = jnp.where(cl, ct, ent_ctype[a])
+                    ent_pair[a] = jnp.where(
+                        cl, jnp.where(is_pair[a], 1.0, 0.0), ent_pair[a])
+                    ent_partner[a] = jnp.where(cl, jj[a], ent_partner[a])
+                for o in range(E):
+                    if o == a:
+                        continue
+                    m = live[a] & is_pair[a] & (jj[a] == o)
+                    ent_claim[o] = ent_claim[o] | m
+                    if ent_val[o] is None:
+                        ent_val[o] = [jnp.where(m, v, 0.0) for v in xj_b]
+                        ent_base[o] = jnp.where(m, basea, 0)
+                        ent_ctype[o] = jnp.where(m, 4, 0)
+                        ent_pair[o] = jnp.where(m, 1.0, 0.0)
+                        ent_partner[o] = jnp.where(m, a, o)
+                    else:
+                        ent_val[o] = [jnp.where(m, xj_b[c], ent_val[o][c])
+                                      for c in range(4)]
+                        ent_base[o] = jnp.where(m, basea, ent_base[o])
+                        ent_ctype[o] = jnp.where(m, 4, ent_ctype[o])
+                        ent_pair[o] = jnp.where(m, 1.0, ent_pair[o])
+                        ent_partner[o] = jnp.where(m, a, ent_partner[o])
+
+            # --- z = Finvpow[base](x_base - Spow[base] u) per entity -----
+            z_rows = []
+            for e in range(E):
+                boh = jnp.where(kcol == ent_base[e][None, :], 1.0, 0.0)
+                fi = jnp.dot(FI_ref[:], boh,
+                             preferred_element_type=jnp.float32)   # (80,T)
+                sp = jnp.dot(SP_ref[:], boh,
+                             preferred_element_type=jnp.float32)   # (40,T)
+                xb = [ent_val[e][c] -
+                      (sp[e * 8 + c * 2 + 0] * u_ref[e * 2] +
+                       sp[e * 8 + c * 2 + 1] * u_ref[e * 2 + 1])
+                      for c in range(4)]
+                for i in range(4):
+                    acc = jnp.zeros((TILE,), jnp.float32)
+                    for j in range(4):
+                        acc = acc + fi[e * 16 + i * 4 + j] * xb[j]
+                    z_rows.append(acc)
+            zu = jnp.concatenate(
+                [jnp.stack(z_rows), u_ref[:],
+                 jnp.zeros((2, TILE), jnp.float32)], axis=0)       # (32,T)
+
+            # --- per-component tail matmul + corrections + update --------
+            tail = [jnp.dot(M_ref[c], zu,
+                            preferred_element_type=jnp.float32)
+                    for c in range(NC)]                      # (G+1,TILE) x20
+            corr = list(tail)
+            for e in range(E):
+                r_e = radii[e]
+                ex = tail[e * 4 + 0]
+                ey = tail[e * 4 + 1]
+                poh = [jnp.where(ent_partner[e] == o, 1.0, 0.0)
+                       for o in range(E)]
+                pxp = sum(poh[o][None] * tail[o * 4 + 0] for o in range(E))
+                pyp = sum(poh[o][None] * tail[o * 4 + 1] for o in range(E))
+                r_p = sum(poh[o] * radii[o] for o in range(E))
+                dx = pxp - ex
+                dy = pyp - ey
+                pn = jnp.sqrt(dx * dx + dy * dy)
+                ov = (r_e + r_p)[None] - pn
+                rs = jnp.where(r_e + r_p > 0, r_e + r_p, 1.0)[None]
+                ce = jnp.where(ov > 0, buf * r_e / rs * ov, 0.0)
+                pairx = ex - ce * dx
+                pairy = ey - ce * dy
+                ct = ent_ctype[e]
+                ovw = [ey + r_e - halfy, -ey + r_e - halfy,
+                       ex + r_e - halfx, -ex + r_e - halfx]
+                dirx = [0.0, 0.0, -1.0, 1.0]
+                diry = [-1.0, 1.0, 0.0, 0.0]
+                wx = ex
+                wy = ey
+                for w in range(4):
+                    on = (ct == w)[None] & (ovw[w] > 0)
+                    wx = wx + jnp.where(on, buf * ovw[w] * dirx[w], 0.0)
+                    wy = wy + jnp.where(on, buf * ovw[w] * diry[w], 0.0)
+                isp = ent_pair[e][None] > 0.5
+                corr[e * 4 + 0] = jnp.where(isp, pairx, wx)
+                corr[e * 4 + 1] = jnp.where(isp, pairy, wy)
+
+            for c in range(NC):
+                e = c // 4
+                cb = ent_base[c // 4][None, :]
+                clm = ent_claim[e][None, :]
+                gnow = gc[c][:]
+                gc[c][:] = jnp.where(clm & (kcol > cb), corr[c],
+                                     jnp.where(clm & (kcol == cb),
+                                               tail[c], gnow))
+
+            base_new = jnp.stack(
+                [jnp.where(ent_claim[e], ent_base[e], base[e])
+                 for e in range(E)])
+            dmg_new = jnp.stack(dmg_rows)
+            one = jnp.float32(1.0)
+            zero = jnp.float32(0.0)
+            incA2 = incA + jnp.where(any_goalA, one, zero)
+            incB2 = incB + jnp.where(any_goalB, one, zero)
+            return (jnp.where(new_scored, one, zero), incA2, incB2,
+                    dmg_new, base_new)
+
+        scored0 = jnp.zeros((TILE,), jnp.float32)
+        inc0 = jnp.zeros((TILE,), jnp.float32)
+        dmg0 = jnp.zeros((16, TILE), jnp.float32)
+        base0 = jnp.ones((E, TILE), jnp.int32)
+        _, incA, incB, dmg, _ = jax.lax.fori_loop(
+            0, iters, body, (scored0, inc0, inc0, dmg0, base0))
+
+        xout_ref[:] = jnp.stack([gc[c][G, :] for c in range(NC)])
+        aux_ref[:] = jnp.concatenate(
+            [incA[None], incB[None],
+             jnp.zeros((6, TILE), jnp.float32), dmg], axis=0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def step_pallas_batch(states: GameState, controls: jax.Array,
+                      params: SimParams) -> GameState:
+    """Batched control step via the Pallas kernel.
+
+    states: batch-leading GameState (B, ...); controls (B, 4, 2).
+    B is padded to a multiple of 128 internally.
+    """
+    if params.stochastic:
+        raise NotImplementedError("pallas path is deterministic-only; "
+                                  "use engine='sweep' for noise")
+    B = states.score.shape[0]
+    Bp = ((B + TILE - 1) // TILE) * TILE
+    G = params.grid_points
+
+    M, FI, SP = _tables(_table_key(params))
+    M, FI, SP = jnp.asarray(M), jnp.asarray(FI), jnp.asarray(SP)
+
+    x = states.x.astype(jnp.float32).reshape(B, 20).T          # (20, B)
+    u = jnp.concatenate([jnp.asarray(controls, jnp.float32).reshape(B, 8),
+                         jnp.zeros((B, 2), jnp.float32)],
+                        axis=1).T                              # (10, B)
+    if Bp != B:
+        x = jnp.pad(x, ((0, 0), (0, Bp - B)))
+        u = jnp.pad(u, ((0, 0), (0, Bp - B)))
+
+    kernel = _make_kernel(params)
+    xout, aux = pl.pallas_call(
+        kernel,
+        grid=(Bp // TILE,),
+        in_specs=[
+            pl.BlockSpec((NC, G + 1, 32), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((80, G + 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((40, G + 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((20, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((10, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((20, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((24, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((20, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((24, Bp), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((G + 1, TILE), jnp.float32)
+                        for _ in range(NC)],
+        interpret=(jax.default_backend() == "cpu"),
+    )(M, FI, SP, x, u)
+
+    x_new = xout[:, :B].T.reshape(B, 5, 4).astype(params.jdtype)
+    inc = aux[0:2, :B].T.astype(jnp.int32)                     # (B, 2)
+    dmg_add = aux[8:24, :B].T.reshape(B, 4, 4).astype(params.jdtype)
+
+    keep = jax.vmap(lambda s: undecided(s, params))(states)    # (B,)
+    kx = keep[:, None, None]
+    new = GameState(
+        x=jnp.where(kx, x_new, states.x),
+        score=states.score + jnp.where(keep[:, None], inc, 0),
+        damage=states.damage + jnp.where(kx, dmg_add, 0.0),
+        t=jnp.where(keep, states.t + params.dt, states.t),
+        key=states.key,
+    )
+    return new
