@@ -28,7 +28,8 @@ Semantics match physics/sweep.py with one simplification: slots are fully
 re-detected every iteration (the sweep engine keeps stale slots for
 untouched entities; a full re-detect over unchanged columns returns the
 same slot, so the difference only reorders rare multi-collision pileups).
-Noise (SimParams.stochastic) is not supported -- use engine="sweep".
+Stochastic mode generates the populate-pass noise contribution outside
+the kernel (sweep.populate_noise) and passes it in as an input plane.
 
 Reference capability spec: GameSim::updateSim
 (/root/reference/src/GameSim.cpp:126-171) -- constants and quirks as in
@@ -96,6 +97,7 @@ def _table_key(params: SimParams):
 # ---------------------------------------------------------------------------
 
 def _make_kernel(params: SimParams):
+    stochastic = params.stochastic
     G = params.grid_points
     dt = params.dt
     dtcol = params.dt_col
@@ -110,14 +112,21 @@ def _make_kernel(params: SimParams):
     iters = params.sweep_iters
     E = 5
 
-    def kernel(M_ref, FI_ref, SP_ref, x_ref, u_ref,
-               xout_ref, aux_ref, *gc):
+    def kernel(M_ref, FI_ref, SP_ref, x_ref, u_ref, *rest):
+        # rest: [noise_ref (stochastic only)], xout_ref, aux_ref, gc...
+        if stochastic:
+            noise_ref, xout_ref, aux_ref, *gc = rest
+        else:
+            xout_ref, aux_ref, *gc = rest
         # gc: NC scratch buffers, each (G+1, TILE) -- grid component planes
         z0 = jnp.concatenate(
             [x_ref[:], u_ref[:], jnp.zeros((2, TILE), jnp.float32)], axis=0)
         for c in range(NC):
-            gc[c][:] = jnp.dot(M_ref[c], z0,
-                               preferred_element_type=jnp.float32)
+            val = jnp.dot(M_ref[c], z0,
+                          preferred_element_type=jnp.float32)
+            if stochastic:
+                val = val + noise_ref[c]
+            gc[c][:] = val
 
         kcol = jax.lax.broadcasted_iota(jnp.int32, (G + 1, TILE), 0)
         kcol_f = kcol.astype(jnp.float32)
@@ -526,10 +535,13 @@ def step_pallas_batch(states: GameState, controls: jax.Array,
 
     states: batch-leading GameState (B, ...); controls (B, 4, 2).
     B is padded to a multiple of 128 internally.
+
+    Stochastic mode: the populate-pass noise contribution is generated
+    OUTSIDE the kernel (jax.random through the exact stage-noise
+    covariance, physics/sweep.populate_noise) and passed in as an input
+    plane -- same statistical model as the sweep engine (no noise on
+    post-collision re-propagation).
     """
-    if params.stochastic:
-        raise NotImplementedError("pallas path is deterministic-only; "
-                                  "use engine='sweep' for noise")
     B = states.score.shape[0]
     Bp = ((B + TILE - 1) // TILE) * TILE
     G = params.grid_points
@@ -544,6 +556,28 @@ def step_pallas_batch(states: GameState, controls: jax.Array,
     if Bp != B:
         x = jnp.pad(x, ((0, 0), (0, Bp - B)))
         u = jnp.pad(u, ((0, 0), (0, Bp - B)))
+
+    extra_in = []
+    extra_specs = []
+    new_keys = states.key
+    if params.stochastic:
+        from .sweep import populate_noise
+        keys = jax.vmap(jax.random.split)(states.key)          # (B, 2, 2)
+        new_keys = keys[:, 0]
+        f32p = params.replace(dtype="float32")
+        contrib = jax.vmap(lambda k: populate_noise(k, f32p))(
+            keys[:, 1])                                        # (B, G, 4, 4)
+        plane = jnp.transpose(contrib, (2, 3, 1, 0)).reshape(16, G, B)
+        plane = jnp.concatenate(
+            [jnp.zeros((16, 1, B), jnp.float32), plane], axis=1)
+        plane = jnp.concatenate(
+            [plane, jnp.zeros((4, G + 1, B), jnp.float32)], axis=0)
+        if Bp != B:
+            plane = jnp.pad(plane, ((0, 0), (0, 0), (0, Bp - B)))
+        extra_in = [plane]
+        extra_specs = [pl.BlockSpec((NC, G + 1, TILE),
+                                    lambda i: (0, 0, i),
+                                    memory_space=pltpu.VMEM)]
 
     kernel = _make_kernel(params)
     xout, aux = pl.pallas_call(
@@ -560,7 +594,7 @@ def step_pallas_batch(states: GameState, controls: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((10, TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + extra_specs,
         out_specs=(
             pl.BlockSpec((20, TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -574,7 +608,7 @@ def step_pallas_batch(states: GameState, controls: jax.Array,
         scratch_shapes=[pltpu.VMEM((G + 1, TILE), jnp.float32)
                         for _ in range(NC)],
         interpret=(jax.default_backend() == "cpu"),
-    )(M, FI, SP, x, u)
+    )(M, FI, SP, x, u, *extra_in)
 
     x_new = xout[:, :B].T.reshape(B, 5, 4).astype(params.jdtype)
     inc = aux[0:2, :B].T.astype(jnp.int32)                     # (B, 2)
@@ -587,6 +621,6 @@ def step_pallas_batch(states: GameState, controls: jax.Array,
         score=states.score + jnp.where(keep[:, None], inc, 0),
         damage=states.damage + jnp.where(kx, dmg_add, 0.0),
         t=jnp.where(keep, states.t + params.dt, states.t),
-        key=states.key,
+        key=new_keys,
     )
     return new

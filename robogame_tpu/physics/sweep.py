@@ -123,6 +123,27 @@ def _affine_tables(params: SimParams):
     return (jnp.asarray(Fpow, dt), jnp.asarray(Spow, dt), jnp.asarray(L, dt))
 
 
+def populate_noise(key, params: SimParams, Fpow=None, Lnoise=None):
+    """Accumulated populate-pass noise contribution, (G, 4 players, 4).
+
+    One 4-vector draw per substep per player through the exact stage-noise
+    covariance factor L, accumulated through the affine chain:
+    contrib[k] = sum_{j<k} F^{k-1-j} L xi_j  (players share F).
+    Also used by the pallas path (noise is generated outside the kernel
+    and passed in as an input plane)."""
+    dtype = params.jdtype
+    G = params.grid_points
+    if Fpow is None or Lnoise is None:
+        Fpow, _, Lnoise = _affine_tables(params)
+    w = jnp.asarray(params.noise, dtype)
+    xi = jax.random.normal(key, (G, 4, 4), dtype=dtype)  # substep, player
+    eta = w * jnp.einsum("ij,kej->kei", Lnoise, xi)      # (G, 4, 4)
+    d = jnp.arange(G)[:, None] - jnp.arange(G)[None, :] - 1     # k-1-j
+    P = jnp.where((d >= 0)[:, :, None, None],
+                  Fpow[jnp.clip(d, 0, G), 0], 0.0)              # (G,G,4,4)
+    return jnp.einsum("kjab,jeb->kea", P, eta)                  # (G, 4, 4)
+
+
 # ---------------------------------------------------------------------------
 # Vectorized overlap corrections (slot/column batched)
 # ---------------------------------------------------------------------------
@@ -192,15 +213,8 @@ def _update_sweep(state: GameState, controls, params: SimParams) -> GameState:
     grid = (jnp.einsum("keij,ej->kei", Fpow, state.x) +
             jnp.einsum("keij,ej->kei", Spow, inputs))        # (G+1, 5, 4)
     if params.stochastic:
-        w = jnp.asarray(params.noise, dtype)
-        xi = jax.random.normal(kpop, (G, 4, 4), dtype=dtype)   # substep, player
-        eta = w * jnp.einsum("ij,kej->kei", Lnoise, xi)        # (G, 4, 4)
-        # accumulate: contrib[k] = sum_{j<k} F^{k-1-j} eta_j (players share F)
-        d = jnp.arange(G)[:, None] - jnp.arange(G)[None, :] - 1   # k-1-j
-        P = jnp.where((d >= 0)[:, :, None, None],
-                      Fpow[jnp.clip(d, 0, G), 0], 0.0)            # (G,G,4,4)
-        contrib = jnp.einsum("kjab,jeb->kea", P, eta)             # (G, 4, 4)
-        grid = grid.at[1:, :4, :].add(contrib)
+        grid = grid.at[1:, :4, :].add(
+            populate_noise(kpop, params, Fpow, Lnoise))
 
     slots = _detect(grid, jnp.ones((5,), jnp.int32), t0, params, radius)
 

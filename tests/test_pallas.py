@@ -72,12 +72,22 @@ def test_pallas_scripted_scenario_scores():
     assert np.isfinite(np.asarray(s_pl.x)).all()
 
 
-def test_pallas_rejects_stochastic():
-    params = SimParams(dtype="float32", engine="pallas", stochastic=True,
-                       noise=0.1)
-    s = _batch_states(params, [[0, 0, 0, 0]], [0])
-    with pytest.raises(NotImplementedError):
-        step_pallas_batch(s, jnp.zeros((1, 4, 2)), params)
+def test_pallas_stochastic_variance_matches_sweep():
+    """Noise plane path: velocity variance agrees with the sweep engine
+    (same statistical model, different PRNG streams)."""
+    B, n = 128, 3
+    params = SimParams(dtype="float32", engine="sweep", stochastic=True,
+                       noise=0.8)
+    s_pl = _batch_states(params, np.zeros((B, 4)), np.arange(1, B + 1))
+    s_sw = s_pl
+    u = jnp.zeros((B, 4, 2), jnp.float32)
+    for _ in range(n):
+        s_pl = step_pallas_batch(s_pl, u, params)
+        s_sw = jax.vmap(lambda s, uu: step_sweep(s, uu, params))(s_sw, u)
+    v_pl = np.asarray(s_pl.x)[:, :4, 2:4]
+    v_sw = np.asarray(s_sw.x)[:, :4, 2:4]
+    assert v_pl.std() > 0
+    assert abs(v_pl.std() - v_sw.std()) / v_sw.std() < 0.25
 
 
 def test_pallas_pads_odd_batch():
