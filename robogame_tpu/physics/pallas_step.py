@@ -112,12 +112,20 @@ def _make_kernel(params: SimParams):
     iters = params.sweep_iters
     E = 5
 
-    def kernel(M_ref, FI_ref, SP_ref, x_ref, u_ref, *rest):
+    winning_score = float(params.winning_score)
+
+    def kernel(M_ref, FI_ref, SP_ref, x_ref, u_ref, meta_ref, dmgin_ref,
+               *rest):
+        # meta_ref (8,TILE): rows 0/1 scores, 2 sim time; dmgin_ref (16,T)
         # rest: [noise_ref (stochastic only)], xout_ref, aux_ref, gc...
         if stochastic:
             noise_ref, xout_ref, aux_ref, *gc = rest
         else:
             xout_ref, aux_ref, *gc = rest
+        # decided-game freeze (GameSim::run gate, GameSim.cpp:118-124),
+        # applied in-kernel so step glue needs no extra XLA ops
+        undec = ((meta_ref[0] < winning_score) &
+                 (meta_ref[1] < winning_score))                 # (TILE,)
         # gc: NC scratch buffers, each (G+1, TILE) -- grid component planes
         z0 = jnp.concatenate(
             [x_ref[:], u_ref[:], jnp.zeros((2, TILE), jnp.float32)], axis=0)
@@ -240,10 +248,31 @@ def _make_kernel(params: SimParams):
                 out.append((px, py, vx, vy)[comp] + d)
             return out
 
-        def body(it, carry):
-            scored_f, incA, incB, dmg, base = carry
+        def detect_stacked(base, scored):
+            """detect() + drop events involving an already-scored puck
+            (the scored latch, GameSim.cpp:229-231), stacked for the
+            while-loop carry (valid as f32 -- rank-2 bools don't lower)."""
+            t, j, c, v = detect(base)
+            sv = []
+            for a in range(E):
+                pv = (a == PUCK) | ((c[a] == 4) & (j[a] == PUCK))
+                keep = v[a] & ~(pv & scored)
+                sv.append(jnp.where(keep, 1.0, 0.0))
+            return (jnp.stack(t), jnp.stack(j), jnp.stack(c),
+                    jnp.stack(sv))
+
+        def loop_cond(carry):
+            (_, _, _, sv_s, _, _, _, _, _, it) = carry
+            return jnp.any(sv_s > 0.5) & (it < iters)
+
+        def body(carry):
+            (st_s, sj_s, sc_s, sv_s, scored_f, incA, incB, dmg, base,
+             it) = carry
             scored = scored_f > 0.5
-            st, sj, sc, sv = detect(base)
+            st = [st_s[a] for a in range(E)]
+            sj = [sj_s[a] for a in range(E)]
+            sc = [sc_s[a] for a in range(E)]
+            sv = [sv_s[a] > 0.5 for a in range(E)]
 
             # --- selection: local-min over the conflict graph ------------
             te = [jnp.where(sv[a], st[a], _INF) for a in range(E)]
@@ -266,9 +295,7 @@ def _make_kernel(params: SimParams):
                     beaten = beaten | earlier
                 take.append(sv[a] & ~beaten)
 
-            puck_inv = [(a == PUCK) | (is_pair[a] & (jj[a] == PUCK))
-                        for a in range(E)]
-            live = [take[a] & ~(puck_inv[a] & scored) for a in range(E)]
+            live = take        # scored-puck events already dropped
 
             # --- resolve all live slots (slot index == entity i) ---------
             ent_val = [None] * E
@@ -510,20 +537,34 @@ def _make_kernel(params: SimParams):
             zero = jnp.float32(0.0)
             incA2 = incA + jnp.where(any_goalA, one, zero)
             incB2 = incB + jnp.where(any_goalB, one, zero)
-            return (jnp.where(new_scored, one, zero), incA2, incB2,
-                    dmg_new, base_new)
+            scored2 = jnp.where(new_scored, one, zero)
+            st2, sj2, sc2, sv2 = detect_stacked(base_new, new_scored)
+            return (st2, sj2, sc2, sv2, scored2, incA2, incB2, dmg_new,
+                    base_new, it + 1)
 
         scored0 = jnp.zeros((TILE,), jnp.float32)
         inc0 = jnp.zeros((TILE,), jnp.float32)
         dmg0 = jnp.zeros((16, TILE), jnp.float32)
         base0 = jnp.ones((E, TILE), jnp.int32)
-        _, incA, incB, dmg, _ = jax.lax.fori_loop(
-            0, iters, body, (scored0, inc0, inc0, dmg0, base0))
+        st0, sj0, sc0, sv0 = detect_stacked(base0, scored0 > 0.5)
+        init = (st0, sj0, sc0, sv0, scored0, inc0, inc0, dmg0, base0,
+                jnp.asarray(0, jnp.int32))
+        # while-loop: a tile with no pending events exits immediately
+        # instead of paying all `iters` rounds
+        out = jax.lax.while_loop(loop_cond, body, init)
+        (_, _, _, _, _, incA, incB, dmg, _, _) = out
 
-        xout_ref[:] = jnp.stack([gc[c][G, :] for c in range(NC)])
-        aux_ref[:] = jnp.concatenate(
-            [incA[None], incB[None],
-             jnp.zeros((6, TILE), jnp.float32), dmg], axis=0)
+        # frozen lanes keep their inputs; live lanes advance
+        xfin = jnp.stack([gc[c][G, :] for c in range(NC)])
+        xout_ref[:] = jnp.where(undec[None, :], xfin, x_ref[:])
+        u01 = jnp.where(undec, 1.0, 0.0)
+        meta_out = jnp.concatenate(
+            [(meta_ref[0] + u01 * incA)[None],
+             (meta_ref[1] + u01 * incB)[None],
+             (meta_ref[2] + u01 * jnp.float32(dt))[None],
+             jnp.zeros((5, TILE), jnp.float32)], axis=0)
+        dmg_out = dmgin_ref[:] + u01[None, :] * dmg
+        aux_ref[:] = jnp.concatenate([meta_out, dmg_out], axis=0)
 
     return kernel
 
@@ -543,43 +584,96 @@ def step_pallas_batch(states: GameState, controls: jax.Array,
     post-collision re-propagation).
     """
     B = states.score.shape[0]
-    Bp = ((B + TILE - 1) // TILE) * TILE
-    G = params.grid_points
+    planes, new_keys = _to_planes(states, params)
+    u = _u_plane(controls, B)
+    planes2 = _kernel_call(planes, u, params,
+                           _noise_plane(states, params))
+    return _from_planes(planes2, states, new_keys, params)
 
+
+def _pad(a, B):
+    Bp = ((B + TILE - 1) // TILE) * TILE
+    if Bp == B:
+        return a
+    return jnp.pad(a, ((0, 0),) * (a.ndim - 1) + ((0, Bp - B),))
+
+
+def _to_planes(states: GameState, params: SimParams):
+    """GameState (B-leading) -> lane-major planes (x, meta, dmg)."""
+    B = states.score.shape[0]
+    x = _pad(states.x.astype(jnp.float32).reshape(B, 20).T, B)
+    meta = jnp.concatenate(
+        [states.score.astype(jnp.float32).T,
+         states.t.astype(jnp.float32)[None],
+         jnp.zeros((5, B), jnp.float32)], axis=0)
+    meta = _pad(meta, B)
+    dmg = _pad(states.damage.astype(jnp.float32).reshape(B, 16).T, B)
+    new_keys = states.key
+    if params.stochastic:
+        keys = jax.vmap(jax.random.split)(states.key)
+        new_keys = keys[:, 0]
+    return (x, meta, dmg), new_keys
+
+
+def _u_plane(controls, B):
+    u = jnp.concatenate(
+        [jnp.asarray(controls, jnp.float32).reshape(B, 8),
+         jnp.zeros((B, 2), jnp.float32)], axis=1).T
+    return _pad(u, B)
+
+
+def _noise_plane(states: GameState, params: SimParams):
+    if not params.stochastic:
+        return None
+    from .sweep import populate_noise
+    B = states.score.shape[0]
+    G = params.grid_points
+    keys = jax.vmap(jax.random.split)(states.key)
+    f32p = params.replace(dtype="float32")
+    contrib = jax.vmap(lambda k: populate_noise(k, f32p))(keys[:, 1])
+    plane = jnp.transpose(contrib, (2, 3, 1, 0)).reshape(16, G, B)
+    plane = jnp.concatenate(
+        [jnp.zeros((16, 1, B), jnp.float32), plane], axis=1)
+    plane = jnp.concatenate(
+        [plane, jnp.zeros((4, G + 1, B), jnp.float32)], axis=0)
+    Bp = ((B + TILE - 1) // TILE) * TILE
+    if Bp != B:
+        plane = jnp.pad(plane, ((0, 0), (0, 0), (0, Bp - B)))
+    return plane
+
+
+def _from_planes(planes, states: GameState, new_keys,
+                 params: SimParams) -> GameState:
+    x, meta, dmg = planes
+    B = states.score.shape[0]
+    return GameState(
+        x=x[:, :B].T.reshape(B, 5, 4).astype(params.jdtype),
+        score=meta[0:2, :B].T.astype(jnp.int32),
+        damage=dmg[:, :B].T.reshape(B, 4, 4).astype(params.jdtype),
+        t=meta[2, :B].astype(params.jdtype),
+        key=new_keys,
+    )
+
+
+def _kernel_call(planes, u, params: SimParams, noise_plane=None):
+    """One kernel invocation over lane-major planes; returns new planes."""
+    x, meta, dmg = planes
+    Bp = x.shape[1]
+    G = params.grid_points
     M, FI, SP = _tables(_table_key(params))
     M, FI, SP = jnp.asarray(M), jnp.asarray(FI), jnp.asarray(SP)
 
-    x = states.x.astype(jnp.float32).reshape(B, 20).T          # (20, B)
-    u = jnp.concatenate([jnp.asarray(controls, jnp.float32).reshape(B, 8),
-                         jnp.zeros((B, 2), jnp.float32)],
-                        axis=1).T                              # (10, B)
-    if Bp != B:
-        x = jnp.pad(x, ((0, 0), (0, Bp - B)))
-        u = jnp.pad(u, ((0, 0), (0, Bp - B)))
-
     extra_in = []
     extra_specs = []
-    new_keys = states.key
     if params.stochastic:
-        from .sweep import populate_noise
-        keys = jax.vmap(jax.random.split)(states.key)          # (B, 2, 2)
-        new_keys = keys[:, 0]
-        f32p = params.replace(dtype="float32")
-        contrib = jax.vmap(lambda k: populate_noise(k, f32p))(
-            keys[:, 1])                                        # (B, G, 4, 4)
-        plane = jnp.transpose(contrib, (2, 3, 1, 0)).reshape(16, G, B)
-        plane = jnp.concatenate(
-            [jnp.zeros((16, 1, B), jnp.float32), plane], axis=1)
-        plane = jnp.concatenate(
-            [plane, jnp.zeros((4, G + 1, B), jnp.float32)], axis=0)
-        if Bp != B:
-            plane = jnp.pad(plane, ((0, 0), (0, 0), (0, Bp - B)))
-        extra_in = [plane]
+        extra_in = [noise_plane]
         extra_specs = [pl.BlockSpec((NC, G + 1, TILE),
                                     lambda i: (0, 0, i),
                                     memory_space=pltpu.VMEM)]
 
     kernel = _make_kernel(params)
+    lane = lambda rows: pl.BlockSpec((rows, TILE), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM)
     xout, aux = pl.pallas_call(
         kernel,
         grid=(Bp // TILE,),
@@ -590,17 +684,9 @@ def step_pallas_batch(states: GameState, controls: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((40, G + 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((20, TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((10, TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+            lane(20), lane(10), lane(8), lane(16),
         ] + extra_specs,
-        out_specs=(
-            pl.BlockSpec((20, TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((24, TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=(lane(20), lane(24)),
         out_shape=(
             jax.ShapeDtypeStruct((20, Bp), jnp.float32),
             jax.ShapeDtypeStruct((24, Bp), jnp.float32),
@@ -608,19 +694,13 @@ def step_pallas_batch(states: GameState, controls: jax.Array,
         scratch_shapes=[pltpu.VMEM((G + 1, TILE), jnp.float32)
                         for _ in range(NC)],
         interpret=(jax.default_backend() == "cpu"),
-    )(M, FI, SP, x, u, *extra_in)
+    )(M, FI, SP, x, u, meta, dmg, *extra_in)
+    return xout, aux[0:8], aux[8:24]
 
-    x_new = xout[:, :B].T.reshape(B, 5, 4).astype(params.jdtype)
-    inc = aux[0:2, :B].T.astype(jnp.int32)                     # (B, 2)
-    dmg_add = aux[8:24, :B].T.reshape(B, 4, 4).astype(params.jdtype)
 
-    keep = jax.vmap(lambda s: undecided(s, params))(states)    # (B,)
-    kx = keep[:, None, None]
-    new = GameState(
-        x=jnp.where(kx, x_new, states.x),
-        score=states.score + jnp.where(keep[:, None], inc, 0),
-        damage=states.damage + jnp.where(kx, dmg_add, 0.0),
-        t=jnp.where(keep, states.t + params.dt, states.t),
-        key=new_keys,
-    )
-    return new
+# NOTE: a fully-fused multi-step runner (lax.scan whose carry stays in
+# lane-major planes, body = one kernel call) was measured at parity with
+# the per-step path -- the XLA glue around the kernel is not the
+# bottleneck -- and wedged the tunneled-TPU runtime in round-1 testing,
+# so it is not shipped; step_pallas_batch in a host-level scan is the
+# supported pattern.
