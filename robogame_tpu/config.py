@@ -68,9 +68,8 @@ class SimParams:
     #               propagation, parallel resolution of disjoint collision
     #               events (physics/sweep.py)
     #   "pallas" -- the sweep algorithm as one fused Pallas TPU kernel,
-    #               batch in lanes, whole step in VMEM (~40x the sweep
-    #               path at B=2048; physics/pallas_step.py). Deterministic
-    #               only; falls back to "sweep" when stochastic.
+    #               batch in lanes, whole step in VMEM (~65x the sweep
+    #               path at B=2048; physics/pallas_step.py).
     engine: str = "event"
     sweep_iters: int = 12              # event-loop iterations in sweep mode
                                        # (each resolves up to 5 disjoint
