@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CbfParams, SimParams
-from ..ops.qp import solve_qp
+from ..ops.qp import f32_matmul, solve_qp
 
 # ordered player pairs (i, j), i != j -- the reference loops i, j in 0..3
 _PAIRS = [(i, j) for i in range(4) for j in range(4) if i != j]
@@ -43,6 +43,7 @@ class CbfResult(NamedTuple):
     converged: jax.Array  # () bool (False -> u == u_nominal)
 
 
+@f32_matmul
 @functools.partial(jax.jit, static_argnames=("params", "cbf"))
 def safe_control(u_nominal: jax.Array, positions: jax.Array,
                  velocities: jax.Array, params: SimParams,

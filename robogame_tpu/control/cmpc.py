@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..config import MpcParams, SimParams
 from ..ops.lqsys import condense, exact_ab
-from ..ops.qp import solve_qp
+from ..ops.qp import f32_matmul, solve_qp
 
 N_OBS = 2     # obstacles: the two opposing players (CentralizedPlayers.py:109-113)
 
@@ -141,6 +141,7 @@ def _solve_candidate(h, x0, x_des, obs, params: SimParams, mpc: MpcParams,
     return U, cost, convs[-1]
 
 
+@f32_matmul
 @functools.partial(jax.jit, static_argnames=("params", "mpc"))
 def compute_control(state: CmpcState, x0_p1, x0_p2, xf_p1, xf_p2,
                     obstacles, params: SimParams, mpc: MpcParams):

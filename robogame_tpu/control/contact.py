@@ -88,8 +88,11 @@ def bounce_pass_wall(p_puck: jax.Array, p_goal: jax.Array,
             (-sgn * v_end_y >= 0.1) &
             jnp.where(goal_right, v_end_x >= 0.1, v_end_x <= -0.1))
 
-    total = jnp.where(feas, h0 + h1, jnp.inf)
-    k = jnp.argmin(total)
+    # among feasible candidates pick the SLOWEST workable kick (the
+    # reference's SNOPT returns an interior feasible point; minimizing
+    # |v0| gives the playable one -- min-time would pick extreme speeds)
+    speed2 = jnp.where(feas, v0x * v0x + v0y * v0y, jnp.inf)
+    k = jnp.argmin(speed2)
     success = feas[k]
     v0 = jnp.stack([v0x[k], v0y[k]])
     return BouncePlan(success=success,

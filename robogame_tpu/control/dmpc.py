@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..config import MpcParams, SimParams
 from ..ops.lqsys import condense, exact_ab
-from ..ops.qp import solve_qp
+from ..ops.qp import f32_matmul, solve_qp
 
 N_NEIGHBORS = 3
 
@@ -96,6 +96,7 @@ def _solve_candidate(h, x0, x_des, obs, params: SimParams, mpc: MpcParams,
     return U, cost, convs[-1]
 
 
+@f32_matmul
 @functools.partial(jax.jit, static_argnames=("params", "mpc"))
 def compute_control(state: DmpcState, x0, x_des, obstacles,
                     params: SimParams, mpc: MpcParams):

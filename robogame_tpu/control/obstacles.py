@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from ..config import SimParams
 from ..ops.lqsys import condense, exact_ab
-from ..ops.qp import solve_qp
+from ..ops.qp import f32_matmul, solve_qp
 from .trajopt import MAX_TRAJ, Trajectory, _arena_rows
 
 MAX_OBS = 4          # static obstacle slots: teammate + 2 opponents + puck
@@ -165,6 +165,7 @@ def _obs_arrays(obstacles, p_puck, params, dtype, include_puck=True):
     return obs, radii, mask
 
 
+@f32_matmul
 @functools.partial(jax.jit, static_argnames=("params", "n_steps",
                                              "sqp_iters", "qp_iters"))
 def intercepting_with_obs_avoidance(p0, v0, pf, vf, obs, obs_r, obs_mask,
@@ -183,6 +184,7 @@ def intercepting_with_obs_avoidance(p0, v0, pf, vf, obs, obs_r, obs_mask,
     return _pack(U, n_steps, params, ok)
 
 
+@f32_matmul
 @functools.partial(jax.jit, static_argnames=("params", "n_steps",
                                              "sqp_iters", "qp_iters"))
 def intercepting_with_obs_avoidance_bb(p0, v0, pf, vf, obs, obs_r, obs_mask,
@@ -227,6 +229,7 @@ def intercepting_with_obs_avoidance_bb(p0, v0, pf, vf, obs, obs_r, obs_mask,
     return _pack(sol.x, N, params, sol.converged)
 
 
+@f32_matmul
 @functools.partial(jax.jit, static_argnames=("params", "sqp_iters",
                                              "qp_iters"))
 def min_time_traj_avoid_obs(p0, v0, pf, vf, obs, obs_r, obs_mask,

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import MpcParams, SimParams
+from ..ops.qp import f32_matmul
 from .dmpc import DmpcState, _solve_candidate, initial_dmpc_state
 
 V_HIT = 6.0     # CentralizedPuckPlayerMPC.py:184
@@ -39,6 +40,7 @@ def initial_state(mpc: MpcParams, dtype=jnp.float32):
     return JointPuckPlayerState(p1=initial_dmpc_state(mpc, dtype))
 
 
+@f32_matmul
 @functools.partial(jax.jit, static_argnames=("params", "mpc"))
 def compute_control(state: JointPuckPlayerState, x_p1, x_p2, x_puck,
                     p_goal, obstacles, params: SimParams,

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..config import MpcParams, SimParams
 from ..ops.lqsys import condense, exact_ab
-from ..ops.qp import solve_qp
+from ..ops.qp import f32_matmul, solve_qp
 
 # Solver-grid constants (mirror the reference's N=15 knots, T in [dt, 5];
 # LinearOptimizer.py:147-149)
@@ -119,6 +119,7 @@ def _resample(U, h, dt, T):
     return jnp.where(mask, u_full, 0.0).T, n_out      # (2, MAX_TRAJ)
 
 
+@f32_matmul
 @functools.partial(jax.jit, static_argnames=("params", "qp_iters"))
 def min_time_traj(p0, v0, pf, vf, params: SimParams,
                   qp_iters: int = 60) -> Trajectory:
@@ -148,6 +149,7 @@ def min_time_traj(p0, v0, pf, vf, params: SimParams,
                       success=success, T=T)
 
 
+@f32_matmul
 @functools.partial(jax.jit, static_argnames=("params", "n_steps",
                                              "qp_iters"))
 def intercepting_traj(p0, v0, pf, vf, params: SimParams, n_steps: int,
@@ -170,6 +172,7 @@ def intercepting_traj(p0, v0, pf, vf, params: SimParams, n_steps: int,
                       success=conv, T=h * N)
 
 
+@f32_matmul
 @functools.partial(jax.jit, static_argnames=("params", "qp_iters"))
 def min_time_bounce_kick_traj(p0, v0, p0_puck, v0_puck, v_puck_desired,
                               params: SimParams,

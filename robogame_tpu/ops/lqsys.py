@@ -71,7 +71,13 @@ def prediction_matrices(A, B, N: int):
     Gamma: (N, N, nx, nu) with Gamma[k, j] = A^{k-j} B for j <= k else 0.
 
     X_k (k=1..N) = Phi[k-1] x0 + sum_j Gamma[k-1, j] u_j.
-    Built with a scan of matrix products (N is small, <= ~21)."""
+    Built with a scan of matrix products (N is small, <= ~21).
+    Full-f32 matmuls: TPU's default bf16 accumulation degrades A^k."""
+    with jax.default_matmul_precision("float32"):
+        return _prediction_matrices(A, B, N)
+
+
+def _prediction_matrices(A, B, N: int):
     nx, nu = B.shape
 
     def pow_body(Ak, _):

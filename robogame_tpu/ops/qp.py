@@ -25,6 +25,17 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def f32_matmul(fn):
+    """Trace the wrapped (possibly jitted) function under full-f32 matmul
+    precision -- TPU's default bf16 accumulation is too coarse for the
+    condensed-QP linear algebra (power tables, normal matrices)."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
 class QpSolution(NamedTuple):
     x: jax.Array           # (n,) primal solution
     converged: jax.Array   # () bool
@@ -44,6 +55,15 @@ def solve_qp(H, g, A, l, u, iters: int = 50, rho: float = 1.0,
     iteration counts.  ``scale_rows`` applies OSQP-style row
     equilibration (unit-norm constraint rows) -- essential when row norms
     are heterogeneous, as in the linearized keep-out SQPs."""
+    # TPU f32 matmuls default to bf16 accumulation; the ADMM needs full
+    # f32 or its residual tests report spurious non-convergence
+    with jax.default_matmul_precision("float32"):
+        return _solve_qp_inner(H, g, A, l, u, iters, rho, sigma, alpha,
+                               tol, scale_rows)
+
+
+def _solve_qp_inner(H, g, A, l, u, iters, rho, sigma, alpha, tol,
+                    scale_rows):
     n = H.shape[-1]
     dtype = H.dtype
     if scale_rows:
