@@ -12,7 +12,6 @@ always plays OFFENSE (CentralizedTeam.py:14-18).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

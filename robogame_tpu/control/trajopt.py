@@ -29,7 +29,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..config import MpcParams, SimParams
+from ..config import SimParams
 from ..ops.lqsys import condense, exact_ab
 from ..ops.qp import f32_matmul, solve_qp
 

@@ -25,7 +25,7 @@ from ..config import SimParams
 from ..physics.engine import step
 from ..physics.rollout import log_record
 from ..state import GameState, initial_state
-from .mesh import batch_sharding, make_mesh, shard_batch
+from .mesh import shard_batch
 
 
 @dataclasses.dataclass(frozen=True)

@@ -47,7 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import PUCK, SimParams
-from ..state import GameState, undecided
+from ..state import GameState
 from .sweep import _affine_tables_np, _substep_affine_np
 
 TILE = 128

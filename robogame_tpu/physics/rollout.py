@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import A1, A2, B1, B2, PUCK, SimParams
-from ..state import GameState, undecided
+from ..state import GameState
 from .engine import step
 
 

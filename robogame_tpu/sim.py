@@ -14,7 +14,7 @@ import numpy as np
 
 from .config import SimParams
 from .physics.engine import step
-from .physics.rollout import log_record, record_to_f64_row
+from .physics.rollout import log_record
 from .state import GameState, initial_state, to_vector
 from .utils.gamelog import GameLogWriter
 

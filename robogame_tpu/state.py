@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import (A1, A2, B1, B2, PUCK, VEC_A1, VEC_A2, VEC_B1, VEC_B2,
-                     VEC_PK, VEC_SIZE, SimParams)
+                     VEC_PK, SimParams)
 
 
 class GameState(NamedTuple):

@@ -22,7 +22,7 @@ import os
 import numpy as np
 
 from ..config import SimParams
-from .gamelog import RECORD_FIELDS, read_log
+from .gamelog import read_log
 
 # log position-field layout: t, scoreA, scoreB, then (x, y) of
 # puck, A1, A2, B1, B2 (/root/reference/src/GameSim.cpp:160-170)
