@@ -41,6 +41,8 @@ FULL_RUN_TOL = {
     "kick_goal_10s": 2.0,         # players grind along walls ~150 steps
     "random_100s": np.inf,        # 2000 chaotic steps: full decorrelation
     "goals_random_60s": np.inf,
+    "heavy_puck_20s": np.inf,     # chaotic random play
+    "slow_players_20s": 1e-10,
 }
 
 SCENARIOS = [s[:-5] for s in sorted(os.listdir(GOLDEN))
@@ -66,6 +68,8 @@ def test_trajectory_parity(name):
         winning_score=meta.get("winning_score", 100),
         tau_puck=meta.get("tau_puck", 0.1),
         tau_player=meta.get("tau_player", 0.5),
+        player_mass=meta.get("player_mass", 1.0),
+        puck_mass=meta.get("puck_mass", 0.5),
         dtype="float64",
     )
     s0 = initial_state(params, x0_puck=meta["x0"])

@@ -36,6 +36,12 @@ SCENARIOS = {
     "goals_random_60s": dict(T=60.0, dt=0.05, x0=[3.2, 0.1, 9.0, 0.0],
                              style="random", sched_seed=11,
                              winning_score=3),
+    # non-default physical parameters: heavy slow puck, sluggish players
+    "heavy_puck_20s": dict(T=20.0, dt=0.05, x0=[0.5, -0.2, 1.5, 0.8],
+                           style="random", sched_seed=21, puck_mass=2.0,
+                           player_mass=1.5),
+    "slow_players_20s": dict(T=20.0, dt=0.05, x0=[-0.5, 0.2, 2.0, -1.0],
+                             style="swirl", tau_player=1.2),
 }
 
 
