@@ -135,6 +135,8 @@ def _solve_candidate(h, x0, x_des, obs, params: SimParams, mpc: MpcParams,
         return sol.x, sol.converged
 
     U, convs = jax.lax.scan(sqp_body, U0, None, length=mpc.sqp_iters)
+    # project out residual ADMM box violation (exact, cheap)
+    U = jnp.clip(U, -params.input_limit, params.input_limit)
     xN = phiN_x0 + gN @ U
     err = xN - x_des
     cost = err @ Omega @ err + N * h          # terminal + final-time cost
@@ -158,7 +160,9 @@ def compute_control(state: CmpcState, x0_p1, x0_p2, xf_p1, xf_p2,
 
     minT = params.dt * mpc.minT_frac / (mpc.N + 1)
     maxT = 4.0 * params.dt                     # MpcParams.maxT (reference)
-    hs = jnp.linspace(minT, maxT, mpc.t_grid).astype(dtype)
+    # geometric grid (see dmpc.py: linear grids procrastinate)
+    ratio = jnp.logspace(0.0, 1.0, mpc.t_grid, base=maxT / minT)
+    hs = (minT * ratio).astype(dtype)
 
     U0 = jnp.where(state.valid, state.U, 0.0)
     Us, costs, convs = jax.vmap(

@@ -90,6 +90,8 @@ def _solve_candidate(h, x0, x_des, obs, params: SimParams, mpc: MpcParams,
         return sol.x, sol.converged
 
     U, convs = jax.lax.scan(sqp_body, U0, None, length=mpc.sqp_iters)
+    # project out residual ADMM box violation (exact, cheap)
+    U = jnp.clip(U, -params.input_limit, params.input_limit)
     xN = phiN_x0 + gN @ U
     err = xN - x_des
     cost = err @ Omega @ err + N * h
@@ -109,7 +111,11 @@ def compute_control(state: DmpcState, x0, x_des, obstacles,
     obs = jnp.asarray(obstacles, dtype).reshape(N_NEIGHBORS, 2)
     minT = params.dt * mpc.minT_frac / mpc.N
     maxT = 5.0 / mpc.N                         # DMPCTeam.py:38
-    hs = jnp.linspace(minT, maxT, mpc.t_grid).astype(dtype)
+    # geometric grid: the optimal free final time shrinks continuously as
+    # the target nears; a linear grid leaves gaps at short horizons and
+    # the closed loop procrastinates (min-effort at a too-long fixed T)
+    ratio = jnp.logspace(0.0, 1.0, mpc.t_grid, base=maxT / minT)
+    hs = (minT * ratio).astype(dtype)
 
     U0 = jnp.where(state.valid, state.U, 0.0)
     Us, costs, convs = jax.vmap(

@@ -146,6 +146,42 @@ def _make_kernel(params: SimParams):
         def detect(base):
             """First qualifying collision per entity; base (E,TILE) i32.
             Returns lists (len E) of (TILE,): t, j, ctype, valid."""
+            # pair candidate times are symmetric -- compute each unordered
+            # pair once (10 slabs instead of 20)
+            pair_tc = {}
+            for i in range(E):
+                for o in range(i + 1, E):
+                    px = gc[i * 4 + 0][:]
+                    py = gc[i * 4 + 1][:]
+                    qx = gc[o * 4 + 0][:]
+                    qy = gc[o * 4 + 1][:]
+                    px_m = _prev(px)
+                    py_m = _prev(py)
+                    vx_m = _prev(gc[i * 4 + 2][:])
+                    vy_m = _prev(gc[i * 4 + 3][:])
+                    qx_m = _prev(qx)
+                    qy_m = _prev(qy)
+                    wx_m = _prev(gc[o * 4 + 2][:])
+                    wy_m = _prev(gc[o * 4 + 3][:])
+                    sig = radii[i] + radii[o]
+                    dxk = qx - px
+                    dyk = qy - py
+                    over = dxk * dxk + dyk * dyk <= sig * sig
+                    dxm = qx_m - px_m
+                    dym = qy_m - py_m
+                    dvx = wx_m - vx_m
+                    dvy = wy_m - vy_m
+                    b = dxm * dvx + dym * dvy
+                    dvv = dvx * dvx + dvy * dvy
+                    dpp = dxm * dxm + dym * dym
+                    disc = b * b - dvv * (dpp - sig * sig)
+                    ok = over & (b < 0) & (disc >= 0) & (dvv > 0)
+                    den = jnp.where(dvv == 0, 1.0, dvv)
+                    tau = jnp.maximum(
+                        0.0, -(b + jnp.sqrt(jnp.maximum(disc, 0.0))) / den)
+                    t_m = (kcol_f - 1.0) * dtcol
+                    pair_tc[(i, o)] = jnp.where(ok, t_m + tau, _INF)
+
             t_list, j_list, c_list, v_list = [], [], [], []
             for e in range(E):
                 px = gc[e * 4 + 0][:]
@@ -186,30 +222,7 @@ def _make_kernel(params: SimParams):
                 for o in range(E):
                     if o == e:
                         continue
-                    qx = gc[o * 4 + 0][:]
-                    qy = gc[o * 4 + 1][:]
-                    qx_m = _prev(qx)
-                    qy_m = _prev(qy)
-                    wx_m = _prev(gc[o * 4 + 2][:])
-                    wy_m = _prev(gc[o * 4 + 3][:])
-                    sig = r + radii[o]
-                    dxk = qx - px
-                    dyk = qy - py
-                    over = dxk * dxk + dyk * dyk <= sig * sig
-                    dxm = qx_m - px_m
-                    dym = qy_m - py_m
-                    dvx = wx_m - vx_m
-                    dvy = wy_m - vy_m
-                    b = dxm * dvx + dym * dvy
-                    dvv = dvx * dvx + dvy * dvy
-                    dpp = dxm * dxm + dym * dym
-                    disc = b * b - dvv * (dpp - sig * sig)
-                    ok = over & (b < 0) & (disc >= 0) & (dvv > 0)
-                    den = jnp.where(dvv == 0, 1.0, dvv)
-                    tau = jnp.maximum(
-                        0.0, -(b + jnp.sqrt(jnp.maximum(disc, 0.0))) / den)
-                    tc = jnp.where(ok, t_m + tau, _INF)
-                    consider(tc, 4, o)
+                    consider(pair_tc[(min(e, o), max(e, o))], 4, o)
 
                 qual = (best_t < dt) & col_ok & (kcol >= base[e][None, :])
                 kfirst = jnp.min(jnp.where(qual, kcol, G + 1), axis=0)
