@@ -130,7 +130,10 @@ def min_time_traj(p0, v0, pf, vf, params: SimParams,
     x0 = jnp.concatenate([p0, v0]).astype(dtype)
     xf = jnp.concatenate([pf, vf]).astype(dtype)
 
-    Ts = jnp.linspace(params.dt, T_MAX, T_GRID).astype(dtype)
+    # geometric spacing: dense at short horizons, where min-time plans for
+    # nearby targets live (see control/dmpc.py on linear-grid gaps)
+    Ts = (params.dt * jnp.logspace(0.0, 1.0, T_GRID,
+                                   base=T_MAX / params.dt)).astype(dtype)
     hs = Ts / N_KNOTS
 
     def solve_one(h):
