@@ -55,7 +55,10 @@ def main():
     ap.add_argument("--no-cbf", action="store_true")
     ap.add_argument("--out", default="mc_out")
     ap.add_argument("--no-logs", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     params = SimParams(dt=0.05, winning_score=4, engine="sweep")
     strat = StrategyParams()

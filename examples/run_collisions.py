@@ -51,7 +51,12 @@ def main():
     ap.add_argument("--dir", default=".")
     ap.add_argument("--log", default="collision_test.log")
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU (the env var alone cannot override a "
+                         "pinned TPU plugin)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     sched = load_schedules(args.dir)
     if sched is None:
