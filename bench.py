@@ -25,18 +25,38 @@ import numpy as np
 REFERENCE_STEPS_PER_SEC = 18_000.0  # compiled C++ reference, 1 CPU core
 
 
+def _make_run(engine: str, B: int, sched):
+    from robogame_tpu.config import SimParams
+    from robogame_tpu.physics.engine import step
+    from robogame_tpu.physics.pallas_step import step_pallas_batch
+
+    params = SimParams(dtype="float32", engine=engine)
+
+    @jax.jit
+    def run(states):
+        def body(s, u):
+            u_b = jnp.broadcast_to(u, (B, 4, 2))
+            if engine == "pallas":
+                s2 = step_pallas_batch(s, u_b, params)
+            else:
+                s2 = jax.vmap(lambda st, uu: step(st, uu, params))(s, u_b)
+            return s2, None
+        final, _ = jax.lax.scan(body, states, sched)
+        return final
+
+    return params, run
+
+
 def main():
     from robogame_tpu.config import SimParams
     from robogame_tpu.parallel.monte_carlo import McParams, _initial_states
-    from robogame_tpu.physics.pallas_step import step_pallas_batch
 
     dev = jax.devices()[0]
     B = 2048
     n_steps = 100          # a 5 s game segment at dt = 0.05
 
-    params = SimParams(dtype="float32", engine="pallas")
     mc = McParams(num_runs=B, randomize_x0=True)
-    states = _initial_states(params, mc)
+    states = _initial_states(SimParams(dtype="float32"), mc)
 
     # Piecewise-constant random velocity commands, same flavor as the
     # golden-trajectory schedules (tools/gen_goldens.py).
@@ -45,17 +65,18 @@ def main():
         np.repeat(rng.uniform(-8, 8, (n_steps // 10, 4, 2)), 10, axis=0),
         jnp.float32)
 
-    @jax.jit
-    def run(states):
-        def body(s, u):
-            u_b = jnp.broadcast_to(u, (B, 4, 2))
-            return step_pallas_batch(s, u_b, params), None
-        final, _ = jax.lax.scan(body, states, sched)
-        return final
-
-    # compile + warm up
-    final = run(states)
-    jax.block_until_ready(final)
+    # compile + warm up; fall back to the XLA sweep engine if the Pallas
+    # kernel cannot compile on this platform (always emit a metric)
+    engine = "pallas"
+    try:
+        params, run = _make_run(engine, B, sched)
+        final = run(states)
+        jax.block_until_ready(final)
+    except Exception:
+        engine = "sweep"
+        params, run = _make_run(engine, B, sched)
+        final = run(states)
+        jax.block_until_ready(final)
 
     iters = 3
     t0 = time.perf_counter()
@@ -68,7 +89,8 @@ def main():
     print(json.dumps({
         "metric": "mc_control_steps_per_sec",
         "value": round(steps_per_sec, 1),
-        "unit": f"steps/s (B={B} games x {n_steps} steps, {dev.platform})",
+        "unit": (f"steps/s (B={B} games x {n_steps} steps, "
+                 f"{dev.platform}, {engine})"),
         "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
     }))
 
