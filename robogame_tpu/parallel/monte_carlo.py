@@ -103,17 +103,55 @@ def monte_carlo(params: SimParams, mc: McParams,
                 mesh=None, log: bool = False,
                 write_config: bool = False) -> McResult:
     """Run the full sweep.  With ``mesh`` given, the game batch is sharded
-    across devices (pad num_runs to a multiple of mesh size)."""
+    across devices (num_runs must divide evenly; the pallas engine
+    additionally runs per-shard under shard_map so each device drives its
+    own kernel grid -- no cross-device gathers)."""
     n_steps = int(np.ceil(mc.T / params.dt))
     states = _initial_states(params, mc)
     if mesh is not None:
         states = shard_batch(states, mesh)
-    final, recs = _run_batch(states, params, n_steps, policy, policy_state,
-                             log)
+        if params.engine == "pallas" and not params.stochastic \
+                and policy is None and not log:
+            final, recs = _run_batch_shard_map(states, params, n_steps,
+                                               mesh), None
+        else:
+            final, recs = _run_batch(states, params, n_steps, policy,
+                                     policy_state, log)
+    else:
+        final, recs = _run_batch(states, params, n_steps, policy,
+                                 policy_state, log)
     if write_config:
         write_configuration(params, mc)
     res = McResult(scores=final.score, damage=final.damage, t_final=final.t)
     return (res, recs) if log else res
+
+
+def _run_batch_shard_map(states: GameState, params: SimParams,
+                         n_steps: int, mesh) -> GameState:
+    """Policy-free sweep with the pallas kernel under shard_map: every
+    device runs its own kernel over its local batch shard (no cross-
+    device gathers around the pallas_call)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..physics.pallas_step import step_pallas_batch
+    from .mesh import BATCH_AXIS
+
+    spec = jax.tree.map(lambda _: P(BATCH_AXIS), states)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec,),
+                       out_specs=spec, check_rep=False)
+    def run_shard(s):
+        B = s.score.shape[0]
+        u = jnp.zeros((B, 4, 2), params.jdtype)
+
+        def body(c, _):
+            return step_pallas_batch(c, u, params), None
+
+        final, _ = lax.scan(body, s, None, length=n_steps)
+        return final
+
+    return jax.jit(run_shard)(states)
 
 
 def write_configuration(params: SimParams, mc: McParams) -> None:

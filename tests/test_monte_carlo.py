@@ -61,3 +61,21 @@ def test_mc_configuration_file(tmp_path):
     lines = open(tmp_path / "mc" / "configuration.txt").read().splitlines()
     assert len(lines) == 13
     assert float(lines[0]) == 2
+
+
+def test_sharded_pallas_mc_matches_sweep():
+    """The shard_map fast path (pallas kernel per device shard) must give
+    the same games as the unsharded sweep engine."""
+    import numpy as np
+    from robogame_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    mc = McParams(num_runs=16, T=0.5, randomize_x0=True)
+    p_pl = SimParams(dtype="float32", engine="pallas")
+    p_sw = SimParams(dtype="float32", engine="sweep")
+    res_sh = monte_carlo(p_pl, mc, mesh=mesh)
+    res_un = monte_carlo(p_sw, mc)
+    np.testing.assert_array_equal(np.asarray(res_sh.scores),
+                                  np.asarray(res_un.scores))
+    np.testing.assert_allclose(np.asarray(res_sh.damage),
+                               np.asarray(res_un.damage), atol=1e-5)
