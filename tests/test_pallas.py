@@ -98,3 +98,16 @@ def test_pallas_pads_odd_batch():
     out = step_pallas_batch(s, jnp.zeros((B, 4, 2)), params)
     assert out.x.shape == (B, 5, 4)
     assert np.isfinite(np.asarray(out.x)).all()
+
+
+def test_single_game_pallas_dispatch():
+    """engine='pallas' through the scalar step()/GameSim path (wraps a
+    batch of one, padded to a lane tile internally)."""
+    from robogame_tpu import GameSim
+    params = SimParams(engine="pallas")
+    sim = GameSim(params)
+    vec = sim.reset(x0_ball=[0.0, 0.3, 2.0, 1.0])
+    for _ in range(3):
+        vec = sim.run(np.ones(2), np.zeros(2), np.zeros(2), np.zeros(2))
+    assert np.isfinite(np.asarray(vec)).all()
+    assert abs(float(vec[2])) > 0.01       # puck moved
