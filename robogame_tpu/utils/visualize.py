@@ -41,18 +41,20 @@ def _interp_log(log: np.ndarray, fps: float):
 
 def animate_log(path: str, params: SimParams | None = None,
                 fps: float = 20.0, save: str | None = None,
-                show: bool = True):
+                show: bool = True, fields: int = 29):
     """Animate a binary game log; optionally save to a video/GIF file.
 
     Mirrors /root/reference/matlab/visualize_game.m (20 FPS playback,
     arena + goal lines + entity circles + score/damage annotations).
+    ``fields=13`` reads the damage-less layout used by the reference's
+    visualize_dmpc_test.m.
     """
     import matplotlib.animation as animation
     import matplotlib.pyplot as plt
     from matplotlib.patches import Circle, Rectangle
 
     params = params or SimParams()
-    log = read_log(path)
+    log = read_log(path, fields=fields)
     if log.shape[0] < 2:
         raise ValueError(f"log {path} has {log.shape[0]} records")
     t_out, frames = _interp_log(log, fps)
@@ -95,6 +97,21 @@ def animate_log(path: str, params: SimParams | None = None,
         plt.show()
     plt.close(fig)
     return save or anim
+
+
+def animate_mc_run(out_dir: str, run: int, fps: float = 20.0,
+                   save: str | None = None, show: bool = True):
+    """Animate one run of a Monte-Carlo sweep using its configuration.txt
+    metadata (/root/reference/matlab/visualize_mc_game.m:9-20)."""
+    config, _, _ = load_mc_results(out_dir)
+    params = SimParams(dt=config["dt"],
+                       winning_score=int(config["winning_score"]),
+                       tau_puck=config["tau_puck"],
+                       tau_player=config["tau_player"],
+                       player_mass=config["player_mass"],
+                       puck_mass=config["puck_mass"])
+    return animate_log(os.path.join(out_dir, f"mc_run_{run}.log"), params,
+                       fps=fps, save=save, show=show)
 
 
 def load_mc_results(out_dir: str):

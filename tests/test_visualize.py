@@ -47,3 +47,16 @@ def test_interpret_mc_results(tmp_path):
     assert cfg["num_runs"] == 2
     assert scores.shape == (2, 2)
     assert (tmp_path / "h.png").exists()
+
+
+def test_animate_mc_run(tmp_path):
+    from robogame_tpu.utils.visualize import animate_mc_run
+    d = tmp_path / "mc"
+    d.mkdir()
+    (d / "configuration.txt").write_text(
+        "\n".join(str(v) for v in
+                  [1, 2.0, 0.05, 3, 0, 0, 0, 0, 0, 0.1, 0.5, 1.0, 0.5]))
+    _write_fake_log(str(d / "mc_run_1.log"))
+    out = str(tmp_path / "run1.gif")
+    animate_mc_run(str(d), 1, fps=10, save=out, show=False)
+    assert np.fromfile(out, dtype=np.uint8).size > 1000
