@@ -71,10 +71,19 @@ class SimParams:
     #               batch in lanes, whole step in VMEM (~65x the sweep
     #               path at B=2048; physics/pallas_step.py).
     engine: str = "event"
-    sweep_iters: int = 12              # event-loop iterations in sweep mode
-                                       # (each resolves up to 5 disjoint
-                                       # events, so ~matches the reference's
-                                       # 50-event cap)
+    sweep_iters: int = 12              # event-loop iteration cap in
+                                       # sweep/pallas mode. Each iteration
+                                       # resolves the earliest event of
+                                       # every disjoint conflict component
+                                       # (<= 5 events), but an entity
+                                       # grinding along a wall needs one
+                                       # iteration per event, so sustained
+                                       # grinding truncates at 12 events
+                                       # per step vs the reference's
+                                       # 50-event cap -- raise for
+                                       # higher-fidelity grinding at
+                                       # ~linear cost (the loop exits
+                                       # early when no events remain)
 
     def __post_init__(self):
         if self.engine not in ("event", "sweep", "pallas"):
