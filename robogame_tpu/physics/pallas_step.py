@@ -194,14 +194,14 @@ def _make_kernel(params: SimParams):
                 t_m = (kcol_f - 1.0) * dtcol
 
                 best_t = jnp.full((G + 1, TILE), _INF, jnp.float32)
-                best_c = jnp.zeros((G + 1, TILE), jnp.float32)
-                best_j = jnp.full((G + 1, TILE), -1.0, jnp.float32)
+                # (ctype, partner) packed into one value: meta = 16c + j+1
+                best_m = jnp.zeros((G + 1, TILE), jnp.float32)
 
                 def consider(tc, cid, jid):
-                    nonlocal best_t, best_c, best_j
+                    nonlocal best_t, best_m
                     better = tc < best_t
-                    best_c = jnp.where(better, float(cid), best_c)
-                    best_j = jnp.where(better, float(jid), best_j)
+                    best_m = jnp.where(better, float(16 * cid + jid + 1),
+                                       best_m)
                     best_t = jnp.where(better, tc, best_t)
 
                 # walls (check order UP, DOWN, RIGHT, LEFT = ctype 0..3)
@@ -229,8 +229,9 @@ def _make_kernel(params: SimParams):
                 found = kfirst <= G
                 oh = jnp.where(kcol == kfirst[None, :], 1.0, 0.0)
                 sel_t = jnp.sum(best_t * oh, axis=0)
-                sel_c = jnp.sum(best_c * oh, axis=0).astype(jnp.int32)
-                sel_j = jnp.sum(best_j * oh, axis=0).astype(jnp.int32)
+                sel_m = jnp.sum(best_m * oh, axis=0).astype(jnp.int32)
+                sel_c = sel_m >> 4
+                sel_j = (sel_m & 15) - 1
                 t_list.append(jnp.where(found, sel_t, _INF))
                 c_list.append(jnp.where(found, sel_c, 0))
                 j_list.append(jnp.where(found, sel_j, -1))
