@@ -36,7 +36,7 @@ def main():
 
     params = SimParams(dt=0.05, winning_score=100, engine="sweep",
                        dtype="float64" if args.f64 else "float32")
-    mpc = MpcParams(t_grid=args.t_grid, sqp_iters=3, qp_iters=60)
+    mpc = MpcParams(t_grid=args.t_grid, sqp_iters=3)
     play = jnp.asarray(OFFENSE, jnp.int32)   # CentralizedTeam.py:14-18
 
     @jax.jit

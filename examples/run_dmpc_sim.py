@@ -35,7 +35,7 @@ def main():
 
     params = SimParams(dt=0.05, winning_score=100, engine="sweep",
                        dtype="float64" if args.f64 else "float32")
-    mpc = MpcParams(t_grid=args.t_grid, sqp_iters=3, qp_iters=60)
+    mpc = MpcParams(t_grid=args.t_grid, sqp_iters=3)
     strat = StrategyParams()
 
     @jax.jit

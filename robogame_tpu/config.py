@@ -142,7 +142,13 @@ class MpcParams:
                                        # under-determined; a small ridge
                                        # picks the smooth solution
     sqp_iters: int = 6                 # fixed SQP outer iterations
-    qp_iters: int = 40                 # fixed ADMM iterations per QP
+    qp_iters: int = 150                # fixed ADMM iterations per QP (the
+                                       # joint CMPC needs ~150 for its
+                                       # short-horizon candidates to
+                                       # converge; below that only the
+                                       # longest, gentlest final-time
+                                       # candidate passes and the closed
+                                       # loop barely moves)
     t_grid: int = 16                   # candidate final-time grid size
 
     def replace(self, **kw) -> "MpcParams":
