@@ -78,11 +78,16 @@ def main():
         final = run(states)
         jax.block_until_ready(final)
 
+    # chain the reps (each consumes the previous final state) and end the
+    # timed region with a host value fetch -- block_until_ready alone has
+    # returned early through tunneled TPU runtimes, inflating async
+    # measurements
     iters = 3
+    s = final
     t0 = time.perf_counter()
     for _ in range(iters):
-        final = run(states)
-    jax.block_until_ready(final)
+        s = run(s)
+    _ = np.asarray(s.score)
     wall = (time.perf_counter() - t0) / iters
 
     steps_per_sec = B * n_steps / wall

@@ -56,18 +56,21 @@ def main():
             s, a, b, c, params, mpc))(states, x0, xd, obs)
 
     out = solve_all(states, x0, xd, obs)
-    jax.block_until_ready(out[1])
-    n_rep = 3
+    _ = np.asarray(out[1])          # host fetch = true synchronization
+    # (block_until_ready alone has returned early through tunneled TPU
+    # runtimes; chain the reps through the warm-start state so they
+    # serialize, and end the timed region with a host fetch)
+    n_rep = 5
+    st = states
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        out = solve_all(states, x0, xd, obs)
-    jax.block_until_ready(out[1])
+        st, u = solve_all(st, x0, xd, obs)
+    u = np.asarray(u)
     w = (time.perf_counter() - t0) / n_rep
     dev = jax.devices()[0].platform
     print(f"{B} DMPC solves (N={args.N}, t_grid={args.t_grid}, "
           f"sqp={args.sqp_iters}x{args.qp_iters}) in {w * 1e3:.1f} ms "
           f"on {dev}  ->  {B / w:,.0f} solves/s")
-    u = np.asarray(out[1])
     assert np.isfinite(u).all()
 
 
