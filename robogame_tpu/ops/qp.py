@@ -86,15 +86,17 @@ def _solve_qp_inner(H, g, A, l, u, iters, rho, sigma, alpha, tol,
         rho_vec = jnp.where(is_eq, 1e3 * rho_s, rho_s).astype(dtype)
         K = H + sigma * eyeN + (A.T * rho_vec[None, :]) @ A
         chol = jnp.linalg.cholesky(K)
-
-        def solve_K(rhs):
-            t = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
-            return jax.scipy.linalg.solve_triangular(chol.T, t, lower=False)
+        # Invert K once per segment (two triangular solves with an n-column
+        # RHS) so the iteration body is a single MXU matvec: per-iteration
+        # triangular solves are substitution-serial on TPU and dominated
+        # the batched-MPC profile.
+        t = jax.scipy.linalg.solve_triangular(chol, eyeN, lower=True)
+        Kinv = jax.scipy.linalg.solve_triangular(chol.T, t, lower=False)
 
         def body(c, _):
             x, z, y = c
             rhs = sigma * x - g + A.T @ (rho_vec * z - y)
-            x_new = solve_K(rhs)
+            x_new = Kinv @ rhs
             Ax = A @ x_new
             z_tilde = alpha * Ax + (1 - alpha) * z
             z_new = jnp.clip(z_tilde + y / rho_vec, l, u)
