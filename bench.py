@@ -81,14 +81,18 @@ def main():
     # chain the reps (each consumes the previous final state) and end the
     # timed region with a host value fetch -- block_until_ready alone has
     # returned early through tunneled TPU runtimes, inflating async
-    # measurements
+    # measurements.  Take the best of a few groups: a single group is
+    # vulnerable to transient tunnel/worker hiccups (observed 40% dips
+    # right after another job was killed on the shared chip).
     iters = 3
     s = final
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        s = run(s)
-    _ = np.asarray(s.score)
-    wall = (time.perf_counter() - t0) / iters
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s = run(s)
+        _ = np.asarray(s.score)
+        wall = min(wall, (time.perf_counter() - t0) / iters)
 
     steps_per_sec = B * n_steps / wall
     print(json.dumps({
