@@ -81,7 +81,7 @@ def _solve_qp_inner(H, g, A, l, u, iters, rho, sigma, alpha, tol,
     # a rho far from the Hessian scale stalls either residual
     rho0 = jnp.clip(jnp.trace(H) / n, 1e-3, 1e6) * rho
 
-    def run_segment(carry, seg_iters):
+    def run_segment(carry, _):
         x, z, y, rho_s = carry
         rho_vec = jnp.where(is_eq, 1e3 * rho_s, rho_s).astype(dtype)
         K = H + sigma * eyeN + (A.T * rho_vec[None, :]) @ A
@@ -121,11 +121,14 @@ def _solve_qp_inner(H, g, A, l, u, iters, rho, sigma, alpha, tol,
     y0 = jnp.zeros_like(z0)
     n_seg = 4
     seg_iters = max(1, iters // n_seg)
-    carry = (x0, z0, y0, rho0)
-    for _ in range(n_seg):
-        carry, res = run_segment(carry, seg_iters)
+    # scan (not an unrolled loop) over the rho segments: the segment body
+    # holds the factorization + inversion + inner scan, and inlining it
+    # n_seg times quadruples the solver portion of every embedding program
+    # (the closed-loop MPC scans are already compile-time-bound)
+    carry, res = lax.scan(run_segment, (x0, z0, y0, rho0), None,
+                          length=n_seg)
     x, z, y, _ = carry
-    prim, dual, p_sc, d_sc = res
+    prim, dual, p_sc, d_sc = jax.tree.map(lambda r: r[-1], res)
 
     conv = (prim < tol * p_sc) & (dual < 10.0 * tol * d_sc)
     return QpSolution(x=x, converged=conv, prim_res=prim, dual_res=dual)
