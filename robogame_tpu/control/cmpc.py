@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import MpcParams, SimParams
-from ..ops.lqsys import condense, exact_ab
+from ..models.lqsys import condense, exact_ab
 from ..ops.qp import f32_matmul, solve_qp
 
 N_OBS = 2     # obstacles: the two opposing players (CentralizedPlayers.py:109-113)

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import MpcParams, SimParams
-from ..ops.lqsys import condense, exact_ab
+from ..models.lqsys import condense, exact_ab
 from ..ops.qp import f32_matmul, solve_qp
 
 N_NEIGHBORS = 3

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SimParams
-from ..ops.lqsys import condense, exact_ab
+from ..models.lqsys import condense, exact_ab
 from ..ops.qp import f32_matmul, solve_qp
 from .trajopt import MAX_TRAJ, Trajectory, _arena_rows
 
@@ -184,6 +184,35 @@ def intercepting_with_obs_avoidance(p0, v0, pf, vf, obs, obs_r, obs_mask,
     return _pack(U, n_steps, params, ok)
 
 
+def _solve_sides(sides, parts: _QpParts, x0, obs, obs_s, obs_mask,
+                 qp_iters: int):
+    """Solve the QP with fixed axis-separation sides.  ``sides``: (M, N)
+    int32 in {-1 free/disabled, 0: x>=o_x+s, 1: x<=o_x-s, 2: y>=o_y+s,
+    3: y<=o_y-s} (the reference's binary assignment,
+    /root/reference/py/src/NonLinearOptimizer.py:210-219)."""
+    dtype = x0.dtype
+    M, N = sides.shape
+    sel_gam = (parts.sel @ parts.gam).reshape(N, 2, -1)
+    p0_part = (parts.sel @ (parts.phi @ x0)).reshape(N, 2)
+    is_x = (sides == 0) | (sides == 1)
+    sign = jnp.where((sides == 0) | (sides == 2), 1.0, -1.0).astype(dtype)
+    axis = jnp.where(is_x, 0, 1)
+    nrm = jax.nn.one_hot(axis, 2, dtype=dtype) * sign[..., None]  # (M,N,2)
+    rows = jnp.einsum("mnc,ncu->mnu", nrm, sel_gam)
+    # sign*(p_ax - o_ax) >= s  =>  row . U >= s + sign*o_ax - sign*p0_ax
+    rhs = (obs_s[:, None] + jnp.sum(nrm * obs[:, None], axis=-1) -
+           jnp.sum(nrm * p0_part[None], axis=-1))
+    active = (sides >= 0) & obs_mask[:, None]
+    rows = jnp.where(active[..., None], rows, 0.0)
+    lo_o = jnp.where(active, rhs, -1.0).reshape(-1)
+    hi_o = jnp.where(active, 1e9, 1.0).reshape(-1)
+    A = jnp.concatenate([parts.A_fix, rows.reshape(-1, 2 * N)], axis=0)
+    lo = jnp.concatenate([parts.lo_fix, lo_o])
+    hi = jnp.concatenate([parts.hi_fix, hi_o])
+    return solve_qp(parts.H, parts.g, A, lo, hi, iters=qp_iters,
+                    scale_rows=True)
+
+
 @f32_matmul
 @functools.partial(jax.jit, static_argnames=("params", "n_steps",
                                              "sqp_iters", "qp_iters"))
@@ -192,41 +221,58 @@ def intercepting_with_obs_avoidance_bb(p0, v0, pf, vf, obs, obs_r, obs_mask,
                                        sqp_iters: int = 5,
                                        qp_iters: int = 150) -> Trajectory:
     """Big-M MIQP variant (/root/reference/py/src/NonLinearOptimizer.py:
-    59-109) as solve-then-fix: SQP incumbent -> per-knot separating side
-    per obstacle -> one QP with the fixed linear side constraints and the
-    reference's terminal *equality*."""
+    59-109): fast jittable incumbent with the reference's terminal
+    *equality*.  Races a fixed candidate set of side assignments -- the
+    SQP solution's per-knot dominant side, its per-obstacle majority side,
+    and the four uniform sides -- one batched QP solve, best feasible
+    effort wins.  The *exact* optimum (host-side branch & bound, like the
+    reference's MixedIntegerBranchAndBound) is ``control.miqp
+    .solve_bb_exact``; tests/test_miqp.py pins this incumbent's
+    optimality gap against it."""
     dtype = jnp.asarray(p0).dtype
     x0 = jnp.concatenate([p0, v0]).astype(dtype)
     xf = jnp.concatenate([pf, vf]).astype(dtype)
     h = jnp.asarray(params.dt, dtype)
-    N = n_steps
+    N, M = n_steps, obs.shape[0]
     parts, U, _ = _sqp(x0, xf, h, params, N, 10.0, 1.0, True, obs, obs_r,
                        obs_mask, sqp_iters, qp_iters)
 
-    # per-knot dominant separating axis/side (the binary assignment)
+    # candidate 0: per-knot dominant separating axis/side from the SQP
     p_bar = _positions(parts, x0, U)                  # (N, 2)
     diff = p_bar[None] - obs[:, None]                 # (M, N, 2)
     axis = jnp.argmax(jnp.abs(diff), axis=-1)         # (M, N) 0=x, 1=y
-    sgn = jnp.sign(jnp.take_along_axis(diff, axis[..., None],
-                                       -1)[..., 0])
-    sgn = jnp.where(sgn == 0, 1.0, sgn)
-    # constraint: sgn * (p_k[axis] - o[axis]) >= r_o
-    sel_gam = (parts.sel @ parts.gam).reshape(N, 2, -1)
-    nrm = jax.nn.one_hot(axis, 2, dtype=dtype) * sgn[..., None]  # (M,N,2)
-    rows = jnp.einsum("mnc,ncu->mnu", nrm, sel_gam)
-    p0_part = (parts.sel @ (parts.phi @ x0)).reshape(N, 2)
-    rhs = (obs_r[:, None] + jnp.sum(nrm * obs[:, None], axis=-1) -
-           jnp.sum(nrm * p0_part[None], axis=-1))
-    rows = jnp.where(obs_mask[:, None, None], rows, 0.0)
-    lo_o = jnp.where(obs_mask[:, None], rhs, -1.0).reshape(-1)
-    hi_o = jnp.where(jnp.broadcast_to(obs_mask[:, None], rhs.shape),
-                     1e9, 1.0).reshape(-1)
-    A = jnp.concatenate([parts.A_fix, rows.reshape(-1, 2 * N)], axis=0)
-    lo = jnp.concatenate([parts.lo_fix, lo_o])
-    hi = jnp.concatenate([parts.hi_fix, hi_o])
-    sol = solve_qp(parts.H, parts.g, A, lo, hi, iters=qp_iters,
-                       scale_rows=True)
-    return _pack(sol.x, N, params, sol.converged)
+    sgn_pos = jnp.take_along_axis(diff, axis[..., None], -1)[..., 0] >= 0
+    per_knot = jnp.where(axis == 0,
+                         jnp.where(sgn_pos, 0, 1),
+                         jnp.where(sgn_pos, 2, 3)).astype(jnp.int32)
+    # candidate 1: per-obstacle majority side, uniform across knots
+    counts = (jax.nn.one_hot(per_knot, 4, dtype=jnp.float32)
+              .sum(axis=1))                            # (M, 4)
+    majority = jnp.argmax(counts, axis=-1).astype(jnp.int32)
+    cand_major = jnp.broadcast_to(majority[:, None], (M, N))
+    # candidates 2-5: every obstacle on the same uniform side
+    uniform = jnp.broadcast_to(
+        jnp.arange(4, dtype=jnp.int32)[:, None, None], (4, M, N))
+    # split candidates: side a for knots < j, side b for knots >= j, for
+    # every split point and the four axis-crossing (a, b) pairs -- these
+    # capture the optimal "cross between two knots" patterns the MIQP's
+    # knot-only constraints admit (corner-cutting between samples)
+    ks = jnp.arange(N, dtype=jnp.int32)
+    pairs = jnp.asarray([[1, 0], [0, 1], [3, 2], [2, 3]], jnp.int32)
+    js = jnp.arange(N + 1, dtype=jnp.int32)
+    split = jnp.where(ks[None, None, :] < js[None, :, None],
+                      pairs[:, 0, None, None], pairs[:, 1, None, None])
+    split = split.reshape(4 * (N + 1), 1, N)
+    split = jnp.broadcast_to(split, (4 * (N + 1), M, N))
+    sides = jnp.concatenate([per_knot[None], cand_major[None], uniform,
+                             split], axis=0)          # (6+4(N+1), M, N)
+
+    sols = jax.vmap(lambda s: _solve_sides(s, parts, x0, obs, obs_r,
+                                           obs_mask, qp_iters))(sides)
+    effort = jnp.einsum("cu,cu->c", sols.x, sols.x)
+    score = jnp.where(sols.converged, effort, jnp.inf)
+    best = jnp.argmin(score)
+    return _pack(sols.x[best], N, params, sols.converged[best])
 
 
 @f32_matmul

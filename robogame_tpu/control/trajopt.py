@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SimParams
-from ..ops.lqsys import condense, exact_ab
+from ..models.lqsys import condense, exact_ab
 from ..ops.qp import f32_matmul, solve_qp
 
 # Solver-grid constants (mirror the reference's N=15 knots, T in [dt, 5];

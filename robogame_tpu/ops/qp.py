@@ -130,6 +130,11 @@ def _solve_qp_inner(H, g, A, l, u, iters, rho, sigma, alpha, tol,
     x, z, y, _ = carry
     prim, dual, p_sc, d_sc = jax.tree.map(lambda r: r[-1], res)
 
+    # Threshold justification (tests/test_qp_fuzz.py): across random,
+    # equality-heavy, one-sided, row-heterogeneous and cond(H)<=1e6 QPs,
+    # conv=True at these relative thresholds implies objective within
+    # 2e-2*(1+|f*|) of a trusted solver and feasibility violation <2e-3
+    # (zero false positives observed); equality rows are satisfied <1e-5.
     conv = (prim < tol * p_sc) & (dual < 10.0 * tol * d_sc)
     return QpSolution(x=x, converged=conv, prim_res=prim, dual_res=dual)
 

@@ -103,12 +103,21 @@ def monte_carlo(params: SimParams, mc: McParams,
                 mesh=None, log: bool = False,
                 write_config: bool = False) -> McResult:
     """Run the full sweep.  With ``mesh`` given, the game batch is sharded
-    across devices (num_runs must divide evenly; the pallas engine
-    additionally runs per-shard under shard_map so each device drives its
-    own kernel grid -- no cross-device gathers)."""
+    across devices; ``num_runs`` that does not divide the device count is
+    padded with duplicate games (results sliced back to ``num_runs``).  The
+    pallas engine additionally runs per-shard under shard_map so each
+    device drives its own kernel grid -- no cross-device gathers."""
     n_steps = int(np.ceil(mc.T / params.dt))
     states = _initial_states(params, mc)
+    n_pad = 0
     if mesh is not None:
+        n_dev = mesh.devices.size
+        rem = mc.num_runs % n_dev
+        if rem:
+            n_pad = n_dev - rem
+            pad_idx = jnp.arange(n_pad) % mc.num_runs
+            states = jax.tree.map(
+                lambda a: jnp.concatenate([a, a[pad_idx]], axis=0), states)
         states = shard_batch(states, mesh)
         if params.engine == "pallas" and not params.stochastic \
                 and policy is None and not log:
@@ -122,6 +131,10 @@ def monte_carlo(params: SimParams, mc: McParams,
                                  policy_state, log)
     if write_config:
         write_configuration(params, mc)
+    if n_pad:
+        final = jax.tree.map(lambda a: a[:mc.num_runs], final)
+        if recs is not None:
+            recs = recs[:, :mc.num_runs]
     res = McResult(scores=final.score, damage=final.damage, t_final=final.t)
     return (res, recs) if log else res
 
@@ -131,7 +144,7 @@ def _run_batch_shard_map(states: GameState, params: SimParams,
     """Policy-free sweep with the pallas kernel under shard_map: every
     device runs its own kernel over its local batch shard (no cross-
     device gathers around the pallas_call)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..physics.pallas_step import step_pallas_batch
@@ -140,7 +153,7 @@ def _run_batch_shard_map(states: GameState, params: SimParams,
     spec = jax.tree.map(lambda _: P(BATCH_AXIS), states)
 
     @functools.partial(shard_map, mesh=mesh, in_specs=(spec,),
-                       out_specs=spec, check_rep=False)
+                       out_specs=spec, check_vma=False)
     def run_shard(s):
         B = s.score.shape[0]
         u = jnp.zeros((B, 4, 2), params.jdtype)

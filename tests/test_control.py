@@ -12,7 +12,7 @@ from robogame_tpu.control.obstacles import (_obs_arrays,
                                             intercepting_with_obs_avoidance,
                                             intercepting_with_obs_avoidance_bb,
                                             min_time_traj_avoid_obs)
-from robogame_tpu.ops.lqsys import exact_ab
+from robogame_tpu.models.lqsys import exact_ab
 
 PARAMS = SimParams(dtype="float64")
 CBF = CbfParams()
@@ -96,7 +96,7 @@ def test_intercepting_obs_solver_matches_exact_optimum():
     """With the obstacle far away (inactive) the SQP must reproduce the
     closed-form optimum of the reference's cost (10 terminal + 1 effort,
     NonLinearOptimizer.py:27,38)."""
-    from robogame_tpu.ops.lqsys import condense
+    from robogame_tpu.models.lqsys import condense
     p0 = jnp.asarray([-1.0, 0.0]); v0 = jnp.zeros(2)
     pf = jnp.asarray([1.0, 0.0]); vf = jnp.zeros(2)
     obs, obs_r, mask = _obs_arrays([np.array([4.0, 2.0])], None, PARAMS,

@@ -40,6 +40,20 @@ def test_mc_sharded_matches_unsharded():
     assert agg["games"] == 16
 
 
+def test_mc_sharded_pads_non_divisible():
+    """num_runs that does not divide the device count is padded internally
+    and the results are sliced back -- identical to the unsharded run."""
+    mesh = make_mesh(8)
+    mc = McParams(num_runs=5, T=1.0, randomize_x0=True)
+    res1 = monte_carlo(P, mc)
+    res2 = monte_carlo(P, mc, mesh=mesh)
+    assert res2.scores.shape == (5, 2)
+    np.testing.assert_array_equal(np.asarray(res1.scores),
+                                  np.asarray(res2.scores))
+    np.testing.assert_allclose(np.asarray(res1.damage),
+                               np.asarray(res2.damage), rtol=1e-12)
+
+
 def test_mc_policy_closed_loop():
     """A trivial jittable policy: every player chases the puck."""
     def chase(ps, states):

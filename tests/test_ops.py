@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from robogame_tpu.config import SimParams
-from robogame_tpu.ops.lqsys import condense, euler_ab, exact_ab
+from robogame_tpu.models.lqsys import condense, euler_ab, exact_ab
 from robogame_tpu.ops.qp import solve_box_ls, solve_qp, solve_qp_batch
 from robogame_tpu.physics.dynamics import exact_player_step
 

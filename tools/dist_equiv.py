@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Large-sample distributional-equivalence campaign: sweep/pallas engines
+vs the reference-exact event engine.
+
+VERDICT r1 item 1: parity and speed live in different engines; this
+campaign is the evidence that the fast engines are *statistically
+equivalent* to the event engine (which is itself pinned to the compiled
+reference C++ sim by tests/test_parity.py) at scale, beyond the 9 golden
+scenarios.
+
+Workload families (all open-loop so both engines see identical inputs):
+  uniform   -- per-game piecewise-constant U(-8,8) schedules, random puck
+  corner    -- all four players driven into a random corner all game
+               (sustained pile-up + wall grinding, the event-cap stressor)
+  squeeze   -- teams driven head-on into each other, flipping every 20
+               steps (repeated high-speed player-player impacts)
+
+Per family it reports, for engine pairs (sweep vs event, and sweep@50
+iters vs sweep@12 to justify the sweep_iters default):
+  * per-game final-score exact-match rate (same seeds, same schedules)
+  * total-goals and total-damage relative mean differences + z-scores
+  * KS statistics of final puck speed / position distributions
+plus a stochastic (noise=1.0) variant compared distributionally.
+
+Run:  python tools/dist_equiv.py [--games 10000] [--steps 100] [--tpu]
+Results are recorded in PARITY.md (distributional-equivalence section).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def make_states(G, key, params):
+    from robogame_tpu.parallel.monte_carlo import McParams, _initial_states
+    mc = McParams(num_runs=G, randomize_x0=True)
+    return _initial_states(params, mc)
+
+
+def make_sched(family, G, n_steps, seed=0):
+    """(n_steps, G, 4, 2) open-loop velocity commands."""
+    rng = np.random.default_rng(seed)
+    if family == "uniform":
+        hold = 10
+        u = rng.uniform(-8, 8, ((n_steps + hold - 1) // hold, G, 4, 2))
+        u = np.repeat(u, hold, axis=0)[:n_steps]
+    elif family == "corner":
+        corner = rng.choice([-8.0, 8.0], size=(1, G, 1, 2))
+        u = np.broadcast_to(corner, (n_steps, G, 4, 2)).copy()
+    elif family == "squeeze":
+        u = np.zeros((n_steps, G, 4, 2))
+        flip = (np.arange(n_steps) // 20 % 2) * 2 - 1   # +-1 every 20
+        u[:, :, 0:2, 0] = 8.0 * flip[:, None, None]     # team A x-drive
+        u[:, :, 2:4, 0] = -8.0 * flip[:, None, None]    # team B opposite
+        u[:, :, :, 1] = rng.uniform(-2, 2, (1, G, 4))   # slight y spread
+    else:
+        raise ValueError(family)
+    return u.astype(np.float32)
+
+
+def rollout(engine, states, sched, params_base, sweep_iters=None,
+            stochastic=False):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from robogame_tpu.physics.engine import step
+    from robogame_tpu.physics.pallas_step import step_pallas_batch
+
+    kw = dict(engine=engine, stochastic=stochastic,
+              noise=1.0 if stochastic else 0.0)
+    if sweep_iters is not None:
+        kw["sweep_iters"] = sweep_iters
+    params = params_base.replace(**kw)
+
+    @jax.jit
+    def run(s, u):
+        def body(s, uk):
+            if engine == "pallas":
+                return step_pallas_batch(s, uk, params), None
+            return jax.vmap(lambda st, uu: step(st, uu, params))(s, uk), None
+        f, _ = lax.scan(body, s, u)
+        return f
+
+    t0 = time.time()
+    f = run(states, jnp.asarray(sched))
+    out = jax.tree.map(np.asarray, f)
+    return out, time.time() - t0
+
+
+def ks_stat(a, b):
+    """Two-sample Kolmogorov-Smirnov statistic."""
+    a, b = np.sort(a), np.sort(b)
+    grid = np.concatenate([a, b])
+    ca = np.searchsorted(a, grid, side="right") / len(a)
+    cb = np.searchsorted(b, grid, side="right") / len(b)
+    return float(np.max(np.abs(ca - cb)))
+
+
+def compare(f_ref, f_fast, label):
+    G = f_ref.score.shape[0]
+    score_match = float(np.mean(np.all(f_ref.score == f_fast.score,
+                                       axis=1)))
+    goals_r = f_ref.score.sum(1).astype(float)
+    goals_f = f_fast.score.sum(1).astype(float)
+    dmg_r = f_ref.damage.sum((1, 2))
+    dmg_f = f_fast.damage.sum((1, 2))
+
+    def zdiff(a, b):
+        se = np.sqrt((a.var() + b.var()) / len(a) + 1e-12)
+        return float((a.mean() - b.mean()) / se)
+
+    puck_speed_r = np.linalg.norm(f_ref.x[:, 4, 2:4], axis=1)
+    puck_speed_f = np.linalg.norm(f_fast.x[:, 4, 2:4], axis=1)
+    res = dict(
+        label=label, games=G,
+        score_match_rate=round(score_match, 4),
+        goals_mean=(round(goals_r.mean(), 4), round(goals_f.mean(), 4)),
+        goals_z=round(zdiff(goals_r, goals_f), 2),
+        damage_mean=(round(float(dmg_r.mean()), 3),
+                     round(float(dmg_f.mean()), 3)),
+        damage_rel_diff=round(
+            float(abs(dmg_r.mean() - dmg_f.mean())
+                  / (abs(dmg_r.mean()) + 1e-9)), 4),
+        damage_z=round(zdiff(dmg_r, dmg_f), 2),
+        ks_puck_speed=round(ks_stat(puck_speed_r, puck_speed_f), 4),
+        ks_puck_x=round(ks_stat(f_ref.x[:, 4, 0], f_fast.x[:, 4, 0]), 4),
+        ks_player_x=round(ks_stat(f_ref.x[:, :4, 0].ravel(),
+                                  f_fast.x[:, :4, 0].ravel()), 4),
+    )
+    print(json.dumps(res), flush=True)
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--games", type=int, default=10000)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the default (TPU) platform incl. pallas")
+    args = ap.parse_args()
+
+    if not args.tpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    from robogame_tpu.config import SimParams
+
+    params = SimParams(dtype="float32")
+    G, n = args.games, args.steps
+    print(f"# dist_equiv: G={G} steps={n} platform="
+          f"{jax.devices()[0].platform}", flush=True)
+
+    for family in ("uniform", "corner", "squeeze"):
+        states = make_states(G, None, params)
+        sched = make_sched(family, G, n, seed=hash(family) % 2**31)
+        f_ev, t_ev = rollout("event", states, sched, params)
+        f_sw, t_sw = rollout("sweep", states, sched, params)
+        print(f"# {family}: event {G*n/t_ev:.0f} steps/s, "
+              f"sweep {G*n/t_sw:.0f} steps/s", flush=True)
+        compare(f_ev, f_sw, f"{family}: sweep12-vs-event50")
+        # sweep_iters justification: 50 (the reference cap) vs default 12
+        f_s50, _ = rollout("sweep", states, sched, params, sweep_iters=50)
+        compare(f_ev, f_s50, f"{family}: sweep50-vs-event50")
+        # cap-matched comparison: the residual (non-cap) semantic gap
+        f_e12, _ = rollout("event", states, sched,
+                           params.replace(collision_counter_lim=12))
+        compare(f_e12, f_sw, f"{family}: sweep12-vs-event12")
+        if args.tpu:
+            f_pl, _ = rollout("pallas", states, sched, params)
+            compare(f_sw, f_pl, f"{family}: pallas-vs-sweep")
+
+    # stochastic variant: distributional only (noise models are
+    # structurally different draws; see physics/sweep.py docstring)
+    states = make_states(G, None, params)
+    sched = make_sched("uniform", G, n, seed=7)
+    f_ev, _ = rollout("event", states, sched, params, stochastic=True)
+    f_sw, _ = rollout("sweep", states, sched, params, stochastic=True)
+    compare(f_ev, f_sw, "uniform+noise1.0: sweep-vs-event (distributional)")
+
+
+if __name__ == "__main__":
+    main()
