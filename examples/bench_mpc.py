@@ -1,13 +1,22 @@
 #!/usr/bin/env python
-"""MPC solver throughput: batched DMPC solves/s on one chip.
+"""MPC benchmarks: solver throughput, closed-loop game throughput, and
+single-game per-step latency vs the 50 ms real-time budget.
 
-BASELINE.md metric "MPC solves/s/chip (2v2, H=20)".  One 'solve' is a
-full free-final-time DMPC compute_control: t_grid candidate final times x
-sqp_iters warm-started SQP iterations, each an ADMM condensed QP
-(nU = 2N variables, input/arena boxes + 3 neighbor keep-outs).
+Modes:
+  throughput   (default) batched open-loop DMPC solves/s on one chip --
+               BASELINE.md metric "MPC solves/s/chip (2v2, H=20)".
+  closed-loop  full CMPC-vs-CMPC or DMPC-vs-DMPC *games* (controllers +
+               physics fused in one scan), vmapped over B games:
+               games/s and control-steps/s.  The reference plays these
+               one SNOPT solve at a time (/root/reference/py/
+               run_centralized_sim.py:44-58, py/test_dmpc.py:39-47).
+  latency      single-game per-step wall latency (one jitted step =
+               both teams' solves + physics), vs the dt=0.05 s budget.
 
-The reference solves these one at a time through pydrake SNOPT (~tens of
-ms each); here thousands of (game x agent) instances solve lockstep.
+Examples:
+  python examples/bench_mpc.py --batch 512
+  python examples/bench_mpc.py --mode closed-loop --team cmpc --batch 64
+  python examples/bench_mpc.py --mode latency --team dmpc
 """
 
 import argparse
@@ -20,26 +29,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
-from robogame_tpu.config import MpcParams, SimParams
+from robogame_tpu.config import MpcParams, SimParams, StrategyParams
 from robogame_tpu.control import dmpc
+from robogame_tpu.physics.engine import step
+from robogame_tpu.state import initial_state
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=512,
-                    help="independent solver instances (games x agents)")
-    ap.add_argument("--N", type=int, default=20)
-    ap.add_argument("--t-grid", type=int, default=8)
-    ap.add_argument("--sqp-iters", type=int, default=3)
-    ap.add_argument("--qp-iters", type=int, default=60)
-    args = ap.parse_args()
-
-    params = SimParams(dtype="float32")
-    mpc = MpcParams(N=args.N, t_grid=args.t_grid,
-                    sqp_iters=args.sqp_iters, qp_iters=args.qp_iters)
+def solver_throughput(args, params, mpc):
     B = args.batch
-
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.uniform(-1, 1, (B, 4)) *
                      np.array([4, 2, 2, 2]), jnp.float32)
@@ -72,6 +71,160 @@ def main():
           f"sqp={args.sqp_iters}x{args.qp_iters}) in {w * 1e3:.1f} ms "
           f"on {dev}  ->  {B / w:,.0f} solves/s")
     assert np.isfinite(u).all()
+
+
+def _make_team(team: str, params, mpc, strat, dtype):
+    """Returns (initial_carry_fn, controls_fn(carry, s) -> (carry, u))."""
+    if team == "cmpc":
+        from robogame_tpu.agents.centralized import OFFENSE, team_step
+        from robogame_tpu.control.cmpc import initial_cmpc_state
+        play = jnp.asarray(OFFENSE, jnp.int32)
+
+        def init():
+            return (initial_cmpc_state(mpc, dtype),
+                    initial_cmpc_state(mpc, dtype))
+
+        def controls(carry, s):
+            cs_a, cs_b = carry
+            cs_a, u_a = team_step(cs_a, s.x, play, -1, params, mpc)
+            cs_b, u_b = team_step(cs_b, s.x, play, 1, params, mpc)
+            return (cs_a, cs_b), jnp.concatenate([u_a, u_b], axis=0)
+    elif team == "dmpc":
+        from robogame_tpu.agents.dmpc_team import (initial_team_state,
+                                                   team_step)
+
+        def init():
+            return (initial_team_state(mpc, dtype),
+                    initial_team_state(mpc, dtype))
+
+        def controls(carry, s):
+            ts_a, ts_b = carry
+            ts_a, u_a = team_step(ts_a, s.x, -1, params, mpc, strat)
+            ts_b, u_b = team_step(ts_b, s.x, 1, params, mpc, strat)
+            return (ts_a, ts_b), jnp.concatenate([u_a, u_b], axis=0)
+    else:
+        raise ValueError(team)
+    return init, controls
+
+
+def _batch_states(B, params):
+    from robogame_tpu.parallel.monte_carlo import McParams, _initial_states
+    return _initial_states(params, McParams(num_runs=B, randomize_x0=True,
+                                            x0_vel_range=2.0))
+
+
+def closed_loop(args, params, mpc, strat):
+    """Full games: B x (controllers + physics) fused in one scan."""
+    dtype = params.jdtype
+    B, n_steps = args.batch, args.steps
+    init, controls = _make_team(args.team, params, mpc, strat, dtype)
+    states = _batch_states(B, params)
+    carries = jax.vmap(lambda _: init())(jnp.arange(B))
+
+    @jax.jit
+    def run_games(carries, states):
+        def body(c, _):
+            cs, s = c
+            cs, u = jax.vmap(controls)(cs, s)
+            s2 = jax.vmap(lambda st, uu: step(st, uu, params))(s, u)
+            return (cs, s2), None
+        (cs, final), _ = lax.scan(body, (carries, states), None,
+                                  length=n_steps)
+        return final
+
+    t0 = time.perf_counter()
+    final = run_games(carries, states)
+    _ = np.asarray(final.score)
+    t_first = time.perf_counter() - t0
+
+    wall = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        final = run_games(carries, states)
+        _ = np.asarray(final.score)
+        wall = min(wall, time.perf_counter() - t0)
+    dev = jax.devices()[0].platform
+    print(f"closed-loop {args.team}: B={B} games x {n_steps} steps "
+          f"(T={n_steps * params.dt:.0f}s) on {dev}: "
+          f"compile+first {t_first:.1f}s, steady {wall:.2f}s -> "
+          f"{B / wall:.2f} games/s, {B * n_steps / wall:,.0f} "
+          f"control-steps/s, total goals "
+          f"{int(np.asarray(final.score).sum())}")
+
+
+def latency(args, params, mpc, strat):
+    """Single-game per-step latency: one jitted (controllers + physics)
+    step, host loop -- the real-time deployment shape."""
+    dtype = params.jdtype
+    init, controls = _make_team(args.team, params, mpc, strat, dtype)
+    s = initial_state(params, x0_puck=[0.0, 0.5, 1.0, 0.0])
+    carry = init()
+
+    @jax.jit
+    def one_step(carry, s):
+        carry, u = controls(carry, s)
+        return carry, step(s, u, params)
+
+    carry2, s2 = one_step(carry, s)
+    _ = np.asarray(s2.t)            # compile + warm
+    n = args.steps
+    lat = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        carry2, s2 = one_step(carry2, s2)
+        _ = np.asarray(s2.t)        # per-step host sync, as deployed
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat) * 1e3
+    dev = jax.devices()[0].platform
+    print(f"latency {args.team}: per-step {np.median(lat):.1f} ms median "
+          f"(p90 {np.percentile(lat, 90):.1f}, max {lat.max():.1f}) on "
+          f"{dev}; budget {params.dt * 1e3:.0f} ms -> "
+          f"{'REAL-TIME' if np.percentile(lat, 90) < params.dt * 1e3 else 'over budget'}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="throughput",
+                    choices=["throughput", "closed-loop", "latency"])
+    ap.add_argument("--team", default="dmpc", choices=["cmpc", "dmpc"])
+    ap.add_argument("--batch", type=int, default=512,
+                    help="solver instances / games")
+    ap.add_argument("--steps", type=int, default=200,
+                    help="game length in control steps (closed-loop), "
+                         "or timed steps (latency)")
+    ap.add_argument("--N", type=int, default=20)
+    ap.add_argument("--t-grid", type=int, default=None,
+                    help="default: 8 for throughput (round-1 metric "
+                         "config), production MpcParams default otherwise")
+    ap.add_argument("--sqp-iters", type=int, default=None)
+    ap.add_argument("--qp-iters", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    # throughput mode keeps the round-1 metric config; closed-loop and
+    # latency run the production MpcParams defaults (the config the games
+    # actually need to converge)
+    fast = args.mode == "throughput"
+    mpc = MpcParams(
+        N=args.N,
+        t_grid=args.t_grid or (8 if fast else MpcParams.t_grid),
+        sqp_iters=args.sqp_iters or (3 if fast else MpcParams.sqp_iters),
+        qp_iters=args.qp_iters or (60 if fast else MpcParams.qp_iters))
+    args.t_grid, args.sqp_iters, args.qp_iters = (mpc.t_grid,
+                                                  mpc.sqp_iters,
+                                                  mpc.qp_iters)
+
+    params = SimParams(dtype="float32", engine="sweep", winning_score=100)
+    strat = StrategyParams()
+
+    if args.mode == "throughput":
+        solver_throughput(args, params, mpc)
+    elif args.mode == "closed-loop":
+        closed_loop(args, params, mpc, strat)
+    else:
+        latency(args, params, mpc, strat)
 
 
 if __name__ == "__main__":

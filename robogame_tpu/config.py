@@ -84,12 +84,27 @@ class SimParams:
                                        # higher-fidelity grinding at
                                        # ~linear cost (the loop exits
                                        # early when no events remain)
+    # Two-phase event loop (pallas engine only): phase 1 runs every game
+    # to a shallow cap, then the ~10% of games whose chains are longer
+    # are compacted into a batch of B/compact_frac lanes and finished at
+    # full depth.  Games beyond the compact budget (only when more than
+    # B/compact_frac games chain past phase1_iters simultaneously) are
+    # truncated at phase1_iters.  ~2x throughput at equal sweep_iters on
+    # MC workloads (see BASELINE.md); bitwise-identical to the one-phase
+    # kernel whenever the compact budget is not exceeded.
+    two_phase: bool = False
+    phase1_iters: int = 2
+    compact_frac: int = 4
 
     def __post_init__(self):
         if self.engine not in ("event", "sweep", "pallas"):
             raise ValueError(
                 f"SimParams.engine must be 'event', 'sweep' or 'pallas', "
                 f"got {self.engine!r}")
+        if self.two_phase and not 0 < self.phase1_iters < self.sweep_iters:
+            raise ValueError(
+                "two_phase needs 0 < phase1_iters < sweep_iters, got "
+                f"{self.phase1_iters} / {self.sweep_iters}")
 
     @property
     def dt_col(self) -> float:

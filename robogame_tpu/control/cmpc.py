@@ -53,16 +53,11 @@ def _joint_ab(h, params: SimParams, dtype):
     return Aj, Bj
 
 
-def _pos_selectors(N: int, dtype):
-    """Selectors extracting p1 (dims 0:2) and p2 (dims 4:6) of the stacked
-    (N*8,) state."""
-    s1 = jnp.zeros((2 * N, 8 * N), dtype)
-    s2 = jnp.zeros((2 * N, 8 * N), dtype)
-    for k in range(N):
-        for c in range(2):
-            s1 = s1.at[2 * k + c, 8 * k + c].set(1.0)
-            s2 = s2.at[2 * k + c, 8 * k + 4 + c].set(1.0)
-    return s1, s2
+def _pos_rows(M, N: int, lo: int):
+    """Rows ``8k+lo .. 8k+lo+1`` of a stacked (8N, ...) matrix/vector --
+    player-position components extracted by reshape/slice (free at trace
+    time and on the MXU; replaces selector-matrix matmuls)."""
+    return M.reshape(N, 8, -1)[:, lo:lo + 2].reshape(2 * N, -1)
 
 
 def _solve_candidate(h, x0, x_des, obs, params: SimParams, mpc: MpcParams,
@@ -82,14 +77,16 @@ def _solve_candidate(h, x0, x_des, obs, params: SimParams, mpc: MpcParams,
     H = 2.0 * (gN.T @ Omega @ gN + mpc.u_reg * jnp.eye(nU, dtype=dtype))
     g = 2.0 * gN.T @ Omega @ (phiN_x0 - x_des)
 
-    s1, s2 = _pos_selectors(N, dtype)
+    phi_x0 = phi @ x0
     lim = params.input_limit
     r = params.player_radius
     hx = params.arena_x / 2.0 - r
     hy = params.arena_y / 2.0 - r
     box = jnp.tile(jnp.asarray([hx, hy], dtype), N)
-    A_arena = jnp.concatenate([s1 @ gam, s2 @ gam], axis=0)
-    off = jnp.concatenate([s1 @ (phi @ x0), s2 @ (phi @ x0)])
+    A_arena = jnp.concatenate([_pos_rows(gam, N, 0),
+                               _pos_rows(gam, N, 4)], axis=0)
+    off = jnp.concatenate([_pos_rows(phi_x0, N, 0)[:, 0],
+                           _pos_rows(phi_x0, N, 4)[:, 0]])
     A_fix = jnp.concatenate([jnp.eye(nU, dtype=dtype), A_arena], axis=0)
     lo_fix = jnp.concatenate([-lim * jnp.ones(nU, dtype),
                               jnp.tile(-box, 2) - off])
@@ -97,15 +94,15 @@ def _solve_candidate(h, x0, x_des, obs, params: SimParams, mpc: MpcParams,
                               jnp.tile(box, 2) - off])
 
     d2 = (2.0 * params.player_radius) ** 2
-    sg1 = (s1 @ gam).reshape(N, 2, nU)
-    sg2 = (s2 @ gam).reshape(N, 2, nU)
-    p0_1 = (s1 @ (phi @ x0)).reshape(N, 2)
-    p0_2 = (s2 @ (phi @ x0)).reshape(N, 2)
+    sg1 = _pos_rows(gam, N, 0).reshape(N, 2, nU)
+    sg2 = _pos_rows(gam, N, 4).reshape(N, 2, nU)
+    p0_1 = _pos_rows(phi_x0, N, 0).reshape(N, 2)
+    p0_2 = _pos_rows(phi_x0, N, 4).reshape(N, 2)
 
     def sqp_body(U, _):
-        X = phi @ x0 + gam @ U
-        p1 = (s1 @ X).reshape(N, 2)
-        p2 = (s2 @ X).reshape(N, 2)
+        X = (phi_x0 + gam @ U).reshape(N, 8)
+        p1 = X[:, 0:2]
+        p2 = X[:, 4:6]
 
         def keepout(p_bar, sg, p0p, centers):
             diff = p_bar[None] - centers[:, None]            # (M, N, 2)

