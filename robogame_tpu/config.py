@@ -71,19 +71,26 @@ class SimParams:
     #               batch in lanes, whole step in VMEM (~65x the sweep
     #               path at B=2048; physics/pallas_step.py).
     engine: str = "event"
-    sweep_iters: int = 12              # event-loop iteration cap in
-                                       # sweep/pallas mode. Each iteration
-                                       # resolves the earliest event of
-                                       # every disjoint conflict component
-                                       # (<= 5 events), but an entity
-                                       # grinding along a wall needs one
-                                       # iteration per event, so sustained
-                                       # grinding truncates at 12 events
-                                       # per step vs the reference's
-                                       # 50-event cap -- raise for
-                                       # higher-fidelity grinding at
-                                       # ~linear cost (the loop exits
-                                       # early when no events remain)
+    sweep_iters: int = 50              # event-loop iteration cap in
+                                       # sweep/pallas mode, default = the
+                                       # reference's 50-event cap
+                                       # (include/GameSim.h:7).  Each
+                                       # iteration resolves the earliest
+                                       # event of every disjoint conflict
+                                       # component (<= 5 events), so 50
+                                       # iterations cover at least the
+                                       # reference's event depth.  The
+                                       # loops exit early when no events
+                                       # remain, so normal gameplay pays
+                                       # only the few iterations it uses;
+                                       # the two-phase pallas path keeps
+                                       # the deep cap cheap at batch.
+                                       # tools/dist_equiv.py campaign: at
+                                       # 50 the sweep engine is
+                                       # statistically indistinguishable
+                                       # from the event engine on random
+                                       # schedules; the old default 12
+                                       # truncated sustained grinding
     # Two-phase event loop (pallas engine only): phase 1 runs every game
     # to a shallow cap, then the ~10% of games whose chains are longer
     # are compacted into a batch of B/compact_frac lanes and finished at

@@ -49,10 +49,11 @@ def _pair(family, params, ref_engine="event", ref_iters=None,
 
 
 def test_uniform_schedules_indistinguishable(params):
-    """Production default (sweep, 12 iters) vs the reference cap (event,
-    50): the normal gameplay envelope must be statistically identical."""
+    """Production default (sweep, 50 iters -- the reference cap depth) vs
+    the reference-exact event engine at its 50-event cap: the normal
+    gameplay envelope must be statistically identical."""
     f_ev, f_sw = _pair("uniform", params)
-    res = compare(f_ev, f_sw, "suite: uniform sweep12-vs-event50")
+    res = compare(f_ev, f_sw, "suite: uniform sweep50-vs-event50")
     assert res["score_match_rate"] == 1.0
     assert res["damage_rel_diff"] < 0.03
     assert res["ks_puck_x"] < 0.06
