@@ -171,7 +171,15 @@ class MpcParams:
                                        # longest, gentlest final-time
                                        # candidate passes and the closed
                                        # loop barely moves)
-    t_grid: int = 16                   # candidate final-time grid size
+    t_grid: int = 8                    # candidate final-time grid size
+    t_local: int = 4                   # of t_grid, candidates re-centered
+                                       # on the previous winner's time
+                                       # step once a warm solution exists
+                                       # (control/dmpc.candidate_steps --
+                                       # warm local refinement mirrors the
+                                       # reference's warm-started free-T
+                                       # NLP and halves the grid the
+                                       # closed loop has to sweep)
 
     def replace(self, **kw) -> "MpcParams":
         return dataclasses.replace(self, **kw)

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from ..config import MpcParams, SimParams
 from ..models.lqsys import condense, exact_ab
 from ..ops.qp import f32_matmul, solve_qp
+from .dmpc import candidate_steps
 
 N_OBS = 2     # obstacles: the two opposing players (CentralizedPlayers.py:109-113)
 
@@ -39,11 +40,13 @@ class CmpcState(NamedTuple):
     /root/reference/py/src/CentralizedMPC.py:12-15)."""
     U: jax.Array        # (4 N,) previous solution
     valid: jax.Array    # () bool
+    h: jax.Array        # () previous winner's per-knot time step
 
 
 def initial_cmpc_state(mpc: MpcParams, dtype=jnp.float32) -> CmpcState:
     return CmpcState(U=jnp.zeros((4 * mpc.N,), dtype),
-                     valid=jnp.asarray(False))
+                     valid=jnp.asarray(False),
+                     h=jnp.zeros((), dtype))
 
 
 def _joint_ab(h, params: SimParams, dtype):
@@ -157,9 +160,9 @@ def compute_control(state: CmpcState, x0_p1, x0_p2, xf_p1, xf_p2,
 
     minT = params.dt * mpc.minT_frac / (mpc.N + 1)
     maxT = 4.0 * params.dt                     # MpcParams.maxT (reference)
-    # geometric grid (see dmpc.py: linear grids procrastinate)
-    ratio = jnp.logspace(0.0, 1.0, mpc.t_grid, base=maxT / minT)
-    hs = (minT * ratio).astype(dtype)
+    # hybrid global + warm-local grid (see dmpc.candidate_steps)
+    hs = candidate_steps(minT, maxT, mpc.t_grid, mpc.t_local, state.h,
+                         state.valid, dtype)
 
     U0 = jnp.where(state.valid, state.U, 0.0)
     Us, costs, convs = jax.vmap(
@@ -169,5 +172,6 @@ def compute_control(state: CmpcState, x0_p1, x0_p2, xf_p1, xf_p2,
     U, ok = Us[k], convs[k]
     u0 = U[:4]                                  # first knot's 4 inputs
     new_state = CmpcState(U=jnp.where(ok, U, state.U),
-                          valid=ok | state.valid)
+                          valid=ok | state.valid,
+                          h=jnp.where(ok, hs[k], state.h))
     return new_state, u0[0:2], u0[2:4]

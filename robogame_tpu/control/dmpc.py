@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import MpcParams, SimParams
 from ..models.lqsys import condense, exact_ab
@@ -35,11 +36,49 @@ class DmpcState(NamedTuple):
     """Warm-start carry (DMPC.py:13-14), one per agent."""
     U: jax.Array        # (2 N,)
     valid: jax.Array    # () bool
+    h: jax.Array        # () previous winner's per-knot time step
 
 
 def initial_dmpc_state(mpc: MpcParams, dtype=jnp.float32) -> DmpcState:
     return DmpcState(U=jnp.zeros((2 * mpc.N,), dtype),
-                     valid=jnp.asarray(False))
+                     valid=jnp.asarray(False),
+                     h=jnp.zeros((), dtype))
+
+
+def candidate_steps(minT, maxT, t_grid: int, t_local: int, h_prev, valid,
+                    dtype):
+    """Hybrid free-final-time candidate grid.
+
+    Cold (no warm-start yet): a ``t_grid``-point geometric grid over
+    [minT, maxT] (geometric, not linear: the optimal per-knot step
+    shrinks continuously as the target nears, and a linear grid leaves
+    gaps at short horizons that make the closed loop procrastinate).
+
+    Warm: the last ``t_local`` candidates are re-centered on the previous
+    winner's time step (x0.7 .. x1.6, clipped to the bounds), while the
+    remaining candidates keep spanning the full global range for play
+    switches.  This mirrors the reference's warm-started free-final-time
+    NLP (/root/reference/py/src/CentralizedMPC.py:57-58 hands SNOPT the
+    previous trajectory, which warm-starts its timestep variable too):
+    after the first solve the free-time search is local refinement, not
+    a global scan, which is what lets ``t_grid`` stay small."""
+    n_local = min(t_local, t_grid // 2)
+    ratio = jnp.logspace(0.0, 1.0, t_grid, base=maxT / minT)
+    glob = (minT * ratio).astype(dtype)
+    if n_local == 0:
+        return glob
+    keep = np.round(np.linspace(0, t_grid - 1,
+                                t_grid - n_local)).astype(int)
+    # the incumbent (factor 1.0) is always a candidate, so a repeat solve
+    # of an unchanged problem keeps its winner instead of oscillating
+    # along the (nearly flat) free-time cost valley
+    factors = np.concatenate([[1.0], np.geomspace(0.7, 1.5,
+                                                  n_local - 1)]) \
+        if n_local > 1 else np.asarray([1.0])
+    local = h_prev * jnp.asarray(factors, dtype)
+    local = jnp.clip(local, minT, maxT).astype(dtype)
+    warm = jnp.concatenate([glob[keep], local])
+    return jnp.where(valid, warm, glob)
 
 
 def _solve_candidate(h, x0, x_des, obs, params: SimParams, mpc: MpcParams,
@@ -113,11 +152,8 @@ def compute_control(state: DmpcState, x0, x_des, obstacles,
     obs = jnp.asarray(obstacles, dtype).reshape(N_NEIGHBORS, 2)
     minT = params.dt * mpc.minT_frac / mpc.N
     maxT = 5.0 / mpc.N                         # DMPCTeam.py:38
-    # geometric grid: the optimal free final time shrinks continuously as
-    # the target nears; a linear grid leaves gaps at short horizons and
-    # the closed loop procrastinates (min-effort at a too-long fixed T)
-    ratio = jnp.logspace(0.0, 1.0, mpc.t_grid, base=maxT / minT)
-    hs = (minT * ratio).astype(dtype)
+    hs = candidate_steps(minT, maxT, mpc.t_grid, mpc.t_local, state.h,
+                         state.valid, dtype)
 
     U0 = jnp.where(state.valid, state.U, 0.0)
     Us, costs, convs = jax.vmap(
@@ -128,5 +164,6 @@ def compute_control(state: DmpcState, x0, x_des, obstacles,
     k = jnp.argmin(costs)
     U, ok = Us[k], convs[k]
     new_state = DmpcState(U=jnp.where(ok, U, state.U),
-                          valid=ok | state.valid)
+                          valid=ok | state.valid,
+                          h=jnp.where(ok, hs[k], state.h))
     return new_state, U[0:2]

@@ -77,7 +77,8 @@ def compute_control(state: JointPuckPlayerState, x_p1, x_p2, x_puck,
     U, ok = Us[k], convs[k]
     new = JointPuckPlayerState(
         p1=DmpcState(U=jnp.where(ok, U, state.p1.U),
-                     valid=ok | state.p1.valid))
+                     valid=ok | state.p1.valid,
+                     h=jnp.where(ok, hs[k], state.p1.h)))
     return new, U[0:2], jnp.zeros(2, dtype)
 
 
