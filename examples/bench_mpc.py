@@ -49,10 +49,16 @@ def solver_throughput(args, params, mpc):
     states = jax.vmap(lambda _: dmpc.initial_dmpc_state(mpc, jnp.float32))(
         jnp.arange(B))
 
-    @jax.jit
-    def solve_all(states, x0, xd, obs):
-        return jax.vmap(lambda s, a, b, c: dmpc.compute_control(
-            s, a, b, c, params, mpc))(states, x0, xd, obs)
+    if args.xla:
+        @jax.jit
+        def solve_all(states, x0, xd, obs):
+            return jax.vmap(lambda s, a, b, c: dmpc.compute_control(
+                s, a, b, c, params, mpc))(states, x0, xd, obs)
+    else:
+        @jax.jit
+        def solve_all(states, x0, xd, obs):
+            return dmpc.compute_control_batch(states, x0, xd, obs,
+                                              params, mpc)
 
     out = solve_all(states, x0, xd, obs)
     _ = np.asarray(out[1])          # host fetch = true synchronization
@@ -107,6 +113,41 @@ def _make_team(team: str, params, mpc, strat, dtype):
     return init, controls
 
 
+def _make_team_batched(team: str, params, mpc, strat, dtype, B):
+    """Batched-controls variant: (init() -> carry with leading B axis,
+    controls(carry, states) -> (carry, u (B, 4, 2))).  For DMPC this
+    routes both teams' solves through the lanes-batched Pallas QP kernel
+    (agents.dmpc_team.team_step_batch) instead of vmapping per-game
+    solves."""
+    if team != "dmpc":
+        init1, controls1 = _make_team(team, params, mpc, strat, dtype)
+
+        def init():
+            return jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (B,) + a.shape),
+                init1())
+
+        def controls(carry, s):
+            return jax.vmap(controls1)(carry, s)
+        return init, controls
+
+    from robogame_tpu.agents.dmpc_team import (initial_team_state,
+                                               team_step_batch)
+
+    def init():
+        one = (initial_team_state(mpc, dtype),
+               initial_team_state(mpc, dtype))
+        return jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape), one)
+
+    def controls(carry, s):
+        ts_a, ts_b = carry
+        ts_a, u_a = team_step_batch(ts_a, s.x, -1, params, mpc, strat)
+        ts_b, u_b = team_step_batch(ts_b, s.x, 1, params, mpc, strat)
+        return (ts_a, ts_b), jnp.concatenate([u_a, u_b], axis=1)
+    return init, controls
+
+
 def _batch_states(B, params):
     from robogame_tpu.parallel.monte_carlo import McParams, _initial_states
     return _initial_states(params, McParams(num_runs=B, randomize_x0=True,
@@ -117,15 +158,16 @@ def closed_loop(args, params, mpc, strat):
     """Full games: B x (controllers + physics) fused in one scan."""
     dtype = params.jdtype
     B, n_steps = args.batch, args.steps
-    init, controls = _make_team(args.team, params, mpc, strat, dtype)
+    init, controls = _make_team_batched(args.team, params, mpc, strat,
+                                        dtype, B)
     states = _batch_states(B, params)
-    carries = jax.vmap(lambda _: init())(jnp.arange(B))
+    carries = init()
 
     @jax.jit
     def run_games(carries, states):
         def body(c, _):
             cs, s = c
-            cs, u = jax.vmap(controls)(cs, s)
+            cs, u = controls(cs, s)
             s2 = jax.vmap(lambda st, uu: step(st, uu, params))(s, u)
             return (cs, s2), None
         (cs, final), _ = lax.scan(body, (carries, states), None,
@@ -199,6 +241,9 @@ def main():
     ap.add_argument("--sqp-iters", type=int, default=None)
     ap.add_argument("--qp-iters", type=int, default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--xla", action="store_true",
+                    help="force the vmapped XLA solver path (default: "
+                         "lanes-batched Pallas QP kernel where eligible)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")

@@ -26,7 +26,8 @@ import numpy as np
 
 from ..config import (A1, A2, B1, B2, PUCK, MpcParams, SimParams,
                       StrategyParams)
-from ..control.dmpc import DmpcState, compute_control, initial_dmpc_state
+from ..control.dmpc import (DmpcState, compute_control,
+                            compute_control_batch, initial_dmpc_state)
 from ..state import SimStateView
 
 OFFENSE, DEFENSE = 0, 1
@@ -104,6 +105,47 @@ def team_step(ts: DmpcTeamState, x: jax.Array, field: int,
         attacker=jax.tree.map(lambda a: a[0], new_states),
         defender=jax.tree.map(lambda a: a[1], new_states))
     return ts2, us
+
+
+@functools.partial(jax.jit, static_argnames=("field", "params", "mpc",
+                                             "strat"))
+def team_step_batch(ts: DmpcTeamState, x: jax.Array, field: int,
+                    params: SimParams, mpc: MpcParams,
+                    strat: StrategyParams):
+    """Batched ``team_step``: ts leaves carry a leading game axis B and
+    x is (B, 5, 4).  Both agents of every game are flattened into one
+    ``control.dmpc.compute_control_batch`` call (2B x t_grid candidate
+    QPs in a single lanes-batched Pallas solve per SQP iteration) --
+    the TPU-scaling path for closed-loop DMPC games.  Returns
+    (state, (B, 2, 2) [attacker, defender] velocities)."""
+    B = x.shape[0]
+
+    def targets(x1):
+        rows = (A1, A2, B1, B2) if field < 0 else (B1, B2, A1, A2)
+        a_row, d_row, o1, o2 = rows
+        puck = x1[PUCK]
+        play = select_play(puck, field, params, strat)
+        tgt_a = player_target(play, ATTACKER, puck[0:2], field, params,
+                              strat)
+        tgt_d = player_target(play, DEFENDER, puck[0:2], field, params,
+                              strat)
+        obs_a = jnp.stack([x1[d_row, 0:2], x1[o1, 0:2], x1[o2, 0:2]])
+        obs_d = jnp.stack([x1[a_row, 0:2], x1[o1, 0:2], x1[o2, 0:2]])
+        return (jnp.stack([x1[a_row], x1[d_row]]),
+                jnp.stack([tgt_a, tgt_d]), jnp.stack([obs_a, obs_d]))
+
+    x0s, tgts, obss = jax.vmap(targets)(x)          # (B, 2, ...)
+    flat = lambda a: a.reshape((2 * B,) + a.shape[2:])
+    states = jax.tree.map(
+        lambda a, d: flat(jnp.stack([a, d], axis=1)),
+        ts.attacker, ts.defender)
+    new_states, us = compute_control_batch(
+        states, flat(x0s), flat(tgts), flat(obss), params, mpc)
+    unflat = lambda a: a.reshape((B, 2) + a.shape[1:])
+    ts2 = DmpcTeamState(
+        attacker=jax.tree.map(lambda a: unflat(a)[:, 0], new_states),
+        defender=jax.tree.map(lambda a: unflat(a)[:, 1], new_states))
+    return ts2, unflat(us)
 
 
 class DMPCPlayer:

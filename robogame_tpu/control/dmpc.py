@@ -81,8 +81,26 @@ def candidate_steps(minT, maxT, t_grid: int, t_local: int, h_prev, valid,
     return jnp.where(valid, warm, glob)
 
 
-def _solve_candidate(h, x0, x_des, obs, params: SimParams, mpc: MpcParams,
-                     U0):
+class QpPieces(NamedTuple):
+    """Per-candidate condensed-QP data that does not depend on the SQP
+    iterate (built once per (h, x0, x_des, obs) instance)."""
+    H: jax.Array          # (nU, nU)
+    g: jax.Array          # (nU,)
+    A_fix: jax.Array      # (nU + 2N, nU) input box + arena rows
+    lo_fix: jax.Array
+    hi_fix: jax.Array
+    sg: jax.Array         # (N, 2, nU) position rows of Gamma
+    p0p: jax.Array        # (N, 2) free-response positions
+    phi_x0: jax.Array     # (4N,)
+    gam: jax.Array        # (4N, nU)
+    gN: jax.Array         # (4, nU)
+    phiN_x0: jax.Array    # (4,)
+    obs: jax.Array        # (3, 2)
+    x_des: jax.Array      # (4,)
+    h: jax.Array          # ()
+
+
+def _prepare(h, x0, x_des, obs, params: SimParams, mpc: MpcParams):
     dtype = x0.dtype
     N = mpc.N
     A, B = exact_ab(h, params.tau_player, dtype)
@@ -111,31 +129,56 @@ def _solve_candidate(h, x0, x_des, obs, params: SimParams, mpc: MpcParams,
     A_fix = jnp.concatenate([jnp.eye(nU, dtype=dtype), sel_gam], axis=0)
     lo_fix = jnp.concatenate([-lim * jnp.ones(nU, dtype), -box - off])
     hi_fix = jnp.concatenate([lim * jnp.ones(nU, dtype), box - off])
+    return QpPieces(H=H, g=g, A_fix=A_fix, lo_fix=lo_fix, hi_fix=hi_fix,
+                    sg=sel_gam.reshape(N, 2, nU), p0p=off.reshape(N, 2),
+                    phi_x0=phi_x0, gam=gam, gN=gN, phiN_x0=phiN_x0,
+                    obs=obs, x_des=x_des, h=h)
 
+
+def _keepout(U, prep: QpPieces, params: SimParams, mpc: MpcParams):
+    """Linearized keep-out rows vs the other 3 players' frozen positions
+    (DMPC.py:27-31) at the current SQP iterate."""
+    N = mpc.N
+    nU = 2 * N
     d2 = (2.0 * params.player_radius) ** 2
-    sg = sel_gam.reshape(N, 2, nU)
-    p0p = off.reshape(N, 2)
+    p_bar = (prep.phi_x0 + prep.gam @ U).reshape(N, 4)[:, 0:2]
+    diff = p_bar[None] - prep.obs[:, None]              # (3, N, 2)
+    gval = jnp.sum(diff * diff, -1) - d2
+    rows = 2.0 * jnp.einsum("mnc,ncu->mnu", diff, prep.sg).reshape(-1, nU)
+    rhs = (2.0 * jnp.sum(diff * p_bar[None], -1) - gval -
+           2.0 * jnp.sum(diff * prep.p0p[None], -1)).reshape(-1)
+    return rows, rhs
+
+
+def _finish(U, prep: QpPieces, params: SimParams, mpc: MpcParams):
+    """Box projection + candidate cost (terminal + final-time)."""
+    dtype = U.dtype
+    Omega = jnp.diag(jnp.asarray([mpc.w_pos, mpc.w_pos, mpc.w_vel,
+                                  mpc.w_vel], dtype))
+    U = jnp.clip(U, -params.input_limit, params.input_limit)
+    xN = prep.phiN_x0 + prep.gN @ U
+    err = xN - prep.x_des
+    cost = err @ Omega @ err + mpc.N * prep.h
+    return U, cost
+
+
+def _solve_candidate(h, x0, x_des, obs, params: SimParams, mpc: MpcParams,
+                     U0):
+    dtype = x0.dtype
+    prep = _prepare(h, x0, x_des, obs, params, mpc)
 
     def sqp_body(U, _):
-        p_bar = (phi_x0 + gam @ U).reshape(N, 4)[:, 0:2]
-        diff = p_bar[None] - obs[:, None]               # (3, N, 2)
-        gval = jnp.sum(diff * diff, -1) - d2
-        rows = 2.0 * jnp.einsum("mnc,ncu->mnu", diff, sg).reshape(-1, nU)
-        rhs = (2.0 * jnp.sum(diff * p_bar[None], -1) - gval -
-               2.0 * jnp.sum(diff * p0p[None], -1)).reshape(-1)
-        A_all = jnp.concatenate([A_fix, rows], axis=0)
-        lo = jnp.concatenate([lo_fix, rhs])
-        hi = jnp.concatenate([hi_fix, jnp.full(rhs.shape, 1e9, dtype)])
-        sol = solve_qp(H, g, A_all, lo, hi, iters=mpc.qp_iters,
+        rows, rhs = _keepout(U, prep, params, mpc)
+        A_all = jnp.concatenate([prep.A_fix, rows], axis=0)
+        lo = jnp.concatenate([prep.lo_fix, rhs])
+        hi = jnp.concatenate([prep.hi_fix,
+                              jnp.full(rhs.shape, 1e9, dtype)])
+        sol = solve_qp(prep.H, prep.g, A_all, lo, hi, iters=mpc.qp_iters,
                        scale_rows=True)
         return sol.x, sol.converged
 
     U, convs = jax.lax.scan(sqp_body, U0, None, length=mpc.sqp_iters)
-    # project out residual ADMM box violation (exact, cheap)
-    U = jnp.clip(U, -params.input_limit, params.input_limit)
-    xN = phiN_x0 + gN @ U
-    err = xN - x_des
-    cost = err @ Omega @ err + N * h
+    U, cost = _finish(U, prep, params, mpc)
     return U, cost, convs[-1]
 
 
@@ -167,3 +210,77 @@ def compute_control(state: DmpcState, x0, x_des, obstacles,
                           valid=ok | state.valid,
                           h=jnp.where(ok, hs[k], state.h))
     return new_state, U[0:2]
+
+
+@f32_matmul
+@functools.partial(jax.jit, static_argnames=("params", "mpc",
+                                             "use_lanes"))
+def compute_control_batch(state: DmpcState, x0, x_des, obstacles,
+                          params: SimParams, mpc: MpcParams,
+                          use_lanes: bool | None = None):
+    """Batched ``compute_control``: every argument carries a leading
+    instance axis Bq (e.g. games x agents).  All Bq * t_grid candidate
+    QPs are flattened into ONE lanes-batched Pallas solve per SQP
+    iteration (ops.qp_pallas.solve_qp_lanes), which is how the solver
+    reaches throughput on TPU -- XLA executes vmapped small-matrix
+    factorizations one padded MXU dispatch per instance (see
+    BASELINE.md), while the lanes kernel advances 128 problems per slab
+    op.
+
+    ``use_lanes=None`` auto-selects: the Pallas path on TPU when the
+    variable count 2N is a multiple of 8, the vmapped XLA solver
+    otherwise (CPU interpret mode is orders of magnitude slower than
+    XLA on CPU, and the lanes layout needs 8-aligned columns)."""
+    dtype = jnp.asarray(x0).dtype
+    Bq = x0.shape[0]
+    T = mpc.t_grid
+    nU = 2 * mpc.N
+    if use_lanes is None:
+        use_lanes = (jax.default_backend() == "tpu") and nU % 8 == 0
+
+    obs = jnp.asarray(obstacles, dtype).reshape(Bq, N_NEIGHBORS, 2)
+    minT = params.dt * mpc.minT_frac / mpc.N
+    maxT = 5.0 / mpc.N
+    hs = jax.vmap(lambda h, v: candidate_steps(
+        minT, maxT, T, mpc.t_local, h, v, dtype))(state.h, state.valid)
+
+    rep = lambda a: jnp.repeat(a, T, axis=0)
+    prep = jax.vmap(lambda h, x, xd, o: _prepare(h, x, xd, o, params,
+                                                 mpc))(
+        hs.reshape(-1), rep(x0.astype(dtype)), rep(x_des.astype(dtype)),
+        rep(obs))
+
+    U0 = jnp.where(state.valid[:, None], state.U, 0.0).astype(dtype)
+    U = rep(U0)
+    conv = jnp.zeros((Bq * T,), bool)
+    big = jnp.full((Bq * T, 3 * mpc.N), 1e9, dtype)
+    for _ in range(mpc.sqp_iters):
+        rows, rhs = jax.vmap(lambda u, p: _keepout(u, p, params, mpc))(
+            U, prep)
+        A_all = jnp.concatenate([prep.A_fix, rows], axis=1)
+        lo = jnp.concatenate([prep.lo_fix, rhs], axis=1)
+        hi = jnp.concatenate([prep.hi_fix, big], axis=1)
+        if use_lanes:
+            from ..ops.qp_pallas import solve_qp_lanes
+            sol = solve_qp_lanes(prep.H, prep.g, A_all, lo, hi,
+                                 iters=mpc.qp_iters, scale_rows=True)
+        else:
+            sol = jax.vmap(lambda H, g, A, l, u: solve_qp(
+                H, g, A, l, u, iters=mpc.qp_iters, scale_rows=True))(
+                prep.H, prep.g, A_all, lo, hi)
+        U, conv = sol.x.astype(dtype), sol.converged
+
+    U, costs = jax.vmap(lambda u, p: _finish(u, p, params, mpc))(U, prep)
+    costs = jnp.where(conv, costs, costs + 1e9).reshape(Bq, T)
+    U = U.reshape(Bq, T, nU)
+    conv = conv.reshape(Bq, T)
+    k = jnp.argmin(costs, axis=1)
+    take = lambda a: jnp.take_along_axis(
+        a, k.reshape(Bq, *([1] * (a.ndim - 1))), axis=1)[:, 0]
+    U_w = take(U)
+    ok = take(conv)
+    h_w = jnp.take_along_axis(hs, k[:, None], axis=1)[:, 0]
+    new_state = DmpcState(U=jnp.where(ok[:, None], U_w, state.U),
+                          valid=ok | state.valid,
+                          h=jnp.where(ok, h_w, state.h))
+    return new_state, U_w[:, 0:2]

@@ -99,6 +99,52 @@ def test_dmpc_warm_start_closed_loop_consistency():
     assert err_w <= err_c * 1.05, (err_w, err_c)
 
 
+def test_dmpc_batch_matches_vmapped():
+    """compute_control_batch (the lanes-solver integration path) must
+    reproduce vmapped per-game compute_control exactly on its XLA
+    fallback (same QPs, same candidate grids, same winner selection)."""
+    B = 3
+    rng = np.random.default_rng(5)
+    x0 = jnp.asarray(rng.uniform(-1, 1, (B, 4)) * np.array([3, 1.5, 1, 1]))
+    x_des = jnp.asarray(np.tile([2.0, 0.0, 0.0, 0.0], (B, 1)))
+    obs = jnp.asarray(rng.uniform(-1, 1, (B, 3, 2)) * 4.0)
+    states = jax.vmap(lambda _: dmpc.initial_dmpc_state(MPC, jnp.float64)
+                      )(jnp.arange(B))
+    for _ in range(2):      # cold + warm step
+        ref_states, ref_u = jax.vmap(
+            lambda s, a, b, c: dmpc.compute_control(s, a, b, c, PARAMS,
+                                                    MPC))(
+            states, x0, x_des, obs)
+        got_states, got_u = dmpc.compute_control_batch(
+            states, x0, x_des, obs, PARAMS, MPC, use_lanes=False)
+        np.testing.assert_allclose(np.asarray(got_u), np.asarray(ref_u),
+                                   atol=1e-9)
+        np.testing.assert_array_equal(np.asarray(got_states.valid),
+                                      np.asarray(ref_states.valid))
+        np.testing.assert_allclose(np.asarray(got_states.h),
+                                   np.asarray(ref_states.h), atol=1e-12)
+        states = ref_states
+
+
+def test_dmpc_team_step_batch_matches():
+    """team_step_batch == vmapped team_step on the XLA path."""
+    B = 2
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.uniform(-1, 1, (B, 5, 4)) *
+                    np.array([4, 2, 1, 1]))
+    ts = jax.vmap(lambda _: initial_team_state(MPC, jnp.float64))(
+        jnp.arange(B))
+    ref_ts, ref_u = jax.vmap(
+        lambda t, xx: dmpc_team_step(t, xx, -1, PARAMS, MPC, STRAT))(
+        ts, x)
+    from robogame_tpu.agents.dmpc_team import team_step_batch
+    got_ts, got_u = team_step_batch(ts, x, -1, PARAMS, MPC, STRAT)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(ref_u),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(got_ts.attacker.U),
+                               np.asarray(ref_ts.attacker.U), atol=1e-9)
+
+
 def test_cmpc_joint_solve():
     cs = initial_cmpc_state(MPC, jnp.float64)
     x0_p1 = jnp.asarray([-2.0, 1.0, 0.0, 0.0])
