@@ -198,7 +198,21 @@ def latency(args, params, mpc, strat):
     """Single-game per-step latency: one jitted (controllers + physics)
     step, host loop -- the real-time deployment shape."""
     dtype = params.jdtype
-    init, controls = _make_team(args.team, params, mpc, strat, dtype)
+    if args.team == "dmpc" and not args.xla:
+        # lanes path at B=1: both agents' candidate QPs in one kernel
+        initb, controlsb = _make_team_batched(args.team, params, mpc,
+                                              strat, dtype, 1)
+        init = initb
+
+        def controls(carry, s):
+            carry, u = controlsb(carry, jax.tree.map(
+                lambda a: a[None], s))
+            return carry, u[0]
+    else:
+        init1, controls1 = _make_team(args.team, params, mpc, strat,
+                                      dtype)
+        init = init1
+        controls = controls1
     s = initial_state(params, x0_puck=[0.0, 0.5, 1.0, 0.0])
     carry = init()
 

@@ -46,27 +46,34 @@ from robogame_tpu.parallel.monte_carlo import McParams, monte_carlo
 
 
 def make_team(kind, field, params, mpc, strat, dtype):
-    """(init() -> carry, step(carry, x22) -> (carry, u (2,2))) for one
-    team of the given kind on the given field side."""
+    """(init() -> carry, step_batch(carry, x (B,5,4)) -> (carry,
+    u (B,2,2))) for one team of the given kind on the given field side.
+    DMPC routes through the lanes-batched Pallas QP kernel
+    (agents.dmpc_team.team_step_batch); the rest vmap per game."""
     if kind == "classical":
         from robogame_tpu.agents.classical import (initial_team_state,
                                                    team_policy)
         return (lambda: initial_team_state(dtype),
-                lambda ts, x: team_policy(ts, x, field, params, strat))
+                lambda ts, x: jax.vmap(
+                    lambda t, xx: team_policy(t, xx, field, params,
+                                              strat))(ts, x))
     if kind == "cmpc":
         from robogame_tpu.agents.centralized import OFFENSE, team_step
         from robogame_tpu.control.cmpc import initial_cmpc_state
         play = jnp.asarray(OFFENSE, jnp.int32)
         return (lambda: initial_cmpc_state(mpc, dtype),
-                lambda cs, x: team_step(cs, x, play, field, params, mpc))
+                lambda cs, x: jax.vmap(
+                    lambda c, xx: team_step(c, xx, play, field, params,
+                                            mpc))(cs, x))
     if kind == "dmpc":
         from robogame_tpu.agents.dmpc_team import (initial_team_state,
-                                                   team_step)
+                                                   team_step_batch)
         return (lambda: initial_team_state(mpc, dtype),
-                lambda ts, x: team_step(ts, x, field, params, mpc, strat))
+                lambda ts, x: team_step_batch(ts, x, field, params, mpc,
+                                              strat))
     if kind == "noop":
         return (lambda: jnp.zeros((), dtype),
-                lambda ts, x: (ts, jnp.zeros((2, 2), dtype)))
+                lambda ts, x: (ts, jnp.zeros((x.shape[0], 2, 2), dtype)))
     raise ValueError(kind)
 
 
@@ -75,17 +82,15 @@ def make_policy(kind_a, kind_b, use_cbf, params, mpc, strat, cbf, B):
     init_a, step_a = make_team(kind_a, -1, params, mpc, strat, dtype)
     init_b, step_b = make_team(kind_b, 1, params, mpc, strat, dtype)
 
-    def per_game(carry, s):
-        ca, cb = carry
-        ca, u_a = step_a(ca, s.x)
-        cb, u_b = step_b(cb, s.x)
-        u = jnp.concatenate([u_a, u_b], axis=0)
-        if use_cbf:
-            u = safe_control(u, s.x[:4, 0:2], s.x[:4, 2:4], params, cbf).u
-        return (ca, cb), u
-
     def policy(carry, states):
-        return jax.vmap(per_game)(carry, states)
+        ca, cb = carry
+        ca, u_a = step_a(ca, states.x)
+        cb, u_b = step_b(cb, states.x)
+        u = jnp.concatenate([u_a, u_b], axis=1)         # (B, 4, 2)
+        if use_cbf:
+            u = jax.vmap(lambda uu, x: safe_control(
+                uu, x[:4, 0:2], x[:4, 2:4], params, cbf).u)(u, states.x)
+        return (ca, cb), u
 
     def batched_init():
         ca, cb = init_a(), init_b()
