@@ -96,11 +96,16 @@ class SimParams:
     # are compacted into a batch of B/compact_frac lanes and finished at
     # full depth.  Games beyond the compact budget (only when more than
     # B/compact_frac games chain past phase1_iters simultaneously) are
-    # truncated at phase1_iters.  ~2x throughput at equal sweep_iters on
-    # MC workloads (see BASELINE.md); bitwise-identical to the one-phase
-    # kernel whenever the compact budget is not exceeded.
-    two_phase: bool = False
-    phase1_iters: int = 2
+    # truncated at phase1_iters.  3.7x throughput at equal sweep_iters
+    # on MC workloads (see BASELINE.md); bitwise-identical to the
+    # one-phase kernel whenever the compact budget is not exceeded
+    # (measured max 326 <= 512 at B=2048 on the MC workload; only
+    # adversarial all-batch pile-ups exceed it, and then within the
+    # documented grinding envelope, PARITY.md).  Default ON: pallas is
+    # the throughput engine; set two_phase=False for the strict
+    # one-phase kernel.
+    two_phase: bool = True
+    phase1_iters: int = 1
     compact_frac: int = 4
 
     def __post_init__(self):

@@ -118,7 +118,7 @@ def test_twophase_bitwise_vs_onephase():
     one-phase kernel when the compact budget (B/compact_frac) covers all
     games that chain past phase 1 -- here padding makes the budget a full
     tile for B=24, so it always covers."""
-    p1 = SimParams(dtype="float32", engine="pallas")
+    p1 = SimParams(dtype="float32", engine="pallas", two_phase=False)
     p2 = SimParams(dtype="float32", engine="pallas", two_phase=True,
                    phase1_iters=2, compact_frac=4)
     B = 24
@@ -138,7 +138,7 @@ def test_twophase_corner_grinding_matches():
     """Adversarial pile-up (every game grinding in a corner, long event
     chains in every lane): two-phase truncates overflow games at
     phase1_iters, so assert semantic closeness, plus exact score match."""
-    p1 = SimParams(dtype="float32", engine="pallas")
+    p1 = SimParams(dtype="float32", engine="pallas", two_phase=False)
     p2 = SimParams(dtype="float32", engine="pallas", two_phase=True,
                    phase1_iters=2, compact_frac=4)
     B = 16
