@@ -157,6 +157,26 @@ def test_twophase_corner_grinding_matches():
     assert abs(d1 - d2) <= 0.15 * max(d1, 1e-6), (d1, d2)
 
 
+def test_sorted_rollout_matches_plain():
+    """rollout_pallas_sorted only permutes lane assignment; outcomes must
+    equal the plain per-step path in the original game order."""
+    from robogame_tpu.physics.pallas_step import rollout_pallas_sorted
+    params = SimParams(dtype="float32", engine="pallas")
+    B, n = 12, 8
+    rng = np.random.default_rng(3)
+    x0s = rng.uniform(-1, 1, (B, 4)) * np.array([3, 1.5, 5, 2])
+    s = _batch_states(params, x0s, np.arange(1, B + 1))
+    u_seq = jnp.asarray(rng.uniform(-8, 8, (n, B, 4, 2)), jnp.float32)
+    ref = s
+    for k in range(n):
+        ref = step_pallas_batch(ref, u_seq[k], params)
+    got = rollout_pallas_sorted(s, u_seq, params, resort_every=2)
+    for f in ("x", "score", "damage", "t"):
+        np.testing.assert_allclose(np.asarray(getattr(got, f)),
+                                   np.asarray(getattr(ref, f)),
+                                   atol=1e-5, err_msg=f)
+
+
 def test_activity_export():
     """with_activity returns per-game event-loop iteration demand:
     zero for drifting games, positive for a grinding game."""
