@@ -41,7 +41,7 @@ import numpy as np
 
 from robogame_tpu.config import (CbfParams, MpcParams, SimParams,
                                  StrategyParams)
-from robogame_tpu.control.cbf import safe_control
+from robogame_tpu.control.cbf import safe_control_batch
 from robogame_tpu.parallel.monte_carlo import McParams, monte_carlo
 
 
@@ -88,8 +88,8 @@ def make_policy(kind_a, kind_b, use_cbf, params, mpc, strat, cbf, B):
         cb, u_b = step_b(cb, states.x)
         u = jnp.concatenate([u_a, u_b], axis=1)         # (B, 4, 2)
         if use_cbf:
-            u = jax.vmap(lambda uu, x: safe_control(
-                uu, x[:4, 0:2], x[:4, 2:4], params, cbf).u)(u, states.x)
+            u = safe_control_batch(u, states.x[:, :4, 0:2],
+                                   states.x[:, :4, 2:4], params, cbf).u
         return (ca, cb), u
 
     def batched_init():

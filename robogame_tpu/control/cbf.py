@@ -53,6 +53,22 @@ def safe_control(u_nominal: jax.Array, positions: jax.Array,
     Equivalent of ``CBF.get_centralized_safe_control_damped_double_integrator``
     (/root/reference/py/src/CBF.py:35-94).
     """
+    H, g, A, lo, hi, u_nom = _build_qp(u_nominal, positions, velocities,
+                                       params, cbf)
+    lim = params.input_limit
+    sol = solve_qp(H, g, A, lo, hi, iters=cbf.qp_iters)
+    # project out the ADMM's residual box violation (exact, cheap)
+    u_safe = jnp.clip(sol.x.reshape(4, 2), -lim, lim)
+    u_out = jnp.where(sol.converged, u_safe, u_nom)
+    return CbfResult(u=u_out, converged=sol.converged)
+
+
+def _build_qp(u_nominal, positions, velocities, params: SimParams,
+              cbf: CbfParams):
+    """Per-game CBF-QP pieces (H, g, A, lo, hi) -- the constraint-build
+    half of safe_control, factored out so the batched path can construct
+    all games' QPs under vmap and solve them in one lanes-batched kernel
+    call."""
     dtype = params.jdtype
     u_nom = jnp.asarray(u_nominal, dtype).reshape(4, 2)
     p = jnp.asarray(positions, dtype).reshape(4, 2)
@@ -65,27 +81,23 @@ def safe_control(u_nominal: jax.Array, positions: jax.Array,
 
     ii = jnp.asarray([a for a, _ in _PAIRS])
     jj = jnp.asarray([b for _, b in _PAIRS])
-    pij = p[ii] - p[jj]                       # (12, 2)
+    pij = p[ii] - p[jj]
     vij = v[ii] - v[jj]
-    pn = jnp.linalg.norm(pij, axis=-1)        # (12,)
+    pn = jnp.linalg.norm(pij, axis=-1)
     pn_safe = jnp.where(pn > 0, pn, 1.0)
-    pu = pij / pn_safe[:, None]               # normalized (CBF.py:52)
-    vcol = jnp.sum(pu * vij, axis=-1)         # (12,)
-    active = vcol < 0                         # approaching pairs only
+    pu = pij / pn_safe[:, None]
+    vcol = jnp.sum(pu * vij, axis=-1)
+    active = vcol < 0
 
     E = jnp.exp((pn + tau * vcol - Ds) / (tau * a_max))
     vperp2 = jnp.sum(vij * vij, axis=-1) - vcol ** 2
-    # hij_dot = E * (-vperp2/|p| + (a_max-vcol)/(tau a_max) (vcol + tau/|p| vperp2)
-    #               + vcol/(tau a_max) (vcol - pu.uij))      (CBF.py:67-69)
     c0 = E * (-vperp2 / pn_safe +
               (a_max - vcol) / (tau * a_max) *
               (vcol + tau / pn_safe * vperp2) +
               vcol / (tau * a_max) * vcol)
-    k = E * vcol / (tau * a_max)              # coefficient of -(pu . uij)
-    h = (a_max - vcol) * E - a_max            # (12,)
+    k = E * vcol / (tau * a_max)
+    h = (a_max - vcol) * E - a_max
 
-    # constraint:  c0 - k * pu.(u_i - u_j) >= -gain h^3
-    #   =>  (-k pu).u_i + (k pu).u_j >= -gain h^3 - c0
     rows = jnp.zeros((len(_PAIRS), 8), dtype)
     rows = rows.at[jnp.arange(12)[:, None], 2 * ii[:, None] +
                    jnp.arange(2)[None, :]].set(-k[:, None] * pu)
@@ -93,7 +105,6 @@ def safe_control(u_nominal: jax.Array, positions: jax.Array,
                    jnp.arange(2)[None, :]].set(k[:, None] * pu)
     lo_c = -gain * h ** 3 - c0
     big = jnp.asarray(1e9, dtype)
-    # inactive pairs: zero row with [-1, 1] bounds (trivially satisfied)
     rows = jnp.where(active[:, None], rows, 0.0)
     lo_c = jnp.where(active, lo_c, -1.0)
     hi_c = jnp.where(active, big, 1.0)
@@ -102,18 +113,32 @@ def safe_control(u_nominal: jax.Array, positions: jax.Array,
     A = jnp.concatenate([rows, jnp.eye(8, dtype=dtype)], axis=0)
     lo = jnp.concatenate([lo_c, -lim * jnp.ones(8, dtype)])
     hi = jnp.concatenate([hi_c, lim * jnp.ones(8, dtype)])
-
     H = 2.0 * jnp.eye(8, dtype=dtype)
     g = -2.0 * u_nom.reshape(8)
-
-    sol = solve_qp(H, g, A, lo, hi, iters=cbf.qp_iters)
-    # project out the ADMM's residual box violation (exact, cheap)
-    u_safe = jnp.clip(sol.x.reshape(4, 2), -lim, lim)
-    u_out = jnp.where(sol.converged, u_safe, u_nom)
-    return CbfResult(u=u_out, converged=sol.converged)
+    return H, g, A, lo, hi, u_nom
 
 
-def safe_control_batch(u_nominal, positions, velocities, params, cbf):
-    """vmap over a leading game-batch axis."""
-    return jax.vmap(lambda u, p, v: safe_control(u, p, v, params, cbf))(
+@functools.partial(jax.jit, static_argnames=("params", "cbf",
+                                             "use_lanes"))
+def safe_control_batch(u_nominal, positions, velocities,
+                       params: SimParams, cbf: CbfParams,
+                       use_lanes: bool | None = None) -> CbfResult:
+    """Batched safety filter over a leading game axis: all games' 8-var
+    CBF-QPs solve in ONE lanes-batched Pallas kernel call on TPU
+    (vmapped XLA solver elsewhere), exactly matching per-game
+    ``safe_control`` semantics."""
+    if use_lanes is None:
+        use_lanes = jax.default_backend() == "tpu"
+    H, g, A, lo, hi, u_nom = jax.vmap(
+        lambda u, p, v: _build_qp(u, p, v, params, cbf))(
         u_nominal, positions, velocities)
+    if use_lanes:
+        from ..ops.qp_pallas import solve_qp_lanes
+        sol = solve_qp_lanes(H, g, A, lo, hi, iters=cbf.qp_iters)
+    else:
+        sol = jax.vmap(lambda *a: solve_qp(*a, iters=cbf.qp_iters))(
+            H, g, A, lo, hi)
+    lim = params.input_limit
+    u_safe = jnp.clip(sol.x.reshape(-1, 4, 2), -lim, lim)
+    u_out = jnp.where(sol.converged[:, None, None], u_safe, u_nom)
+    return CbfResult(u=u_out, converged=sol.converged)

@@ -29,6 +29,24 @@ def test_cbf_inactive_returns_nominal():
                                atol=1e-3)
 
 
+def test_cbf_batch_matches_per_game():
+    """safe_control_batch (the lanes-kernel integration path) must equal
+    vmapped per-game safe_control on its XLA fallback."""
+    from robogame_tpu.control.cbf import safe_control_batch
+    B = 5
+    rng = np.random.default_rng(4)
+    p = jnp.asarray(rng.uniform(-1, 1, (B, 4, 2)) * np.array([4, 2]))
+    v = jnp.asarray(rng.uniform(-3, 3, (B, 4, 2)))
+    u = jnp.asarray(rng.uniform(-10, 10, (B, 4, 2)))
+    ref = jax.vmap(lambda a, b, c: safe_control(a, b, c, PARAMS, CBF))(
+        u, p, v)
+    got = safe_control_batch(u, p, v, PARAMS, CBF, use_lanes=False)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(ref.u),
+                               atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(got.converged),
+                                  np.asarray(ref.converged))
+
+
 def test_cbf_head_on_modifies_controls():
     """Two players closing fast head-on: the filter must brake them."""
     p = jnp.asarray([[-0.5, 0.0], [0.5, 0.0], [3.0, 2.0], [3.0, -2.0]])
