@@ -119,6 +119,25 @@ def _make_team_batched(team: str, params, mpc, strat, dtype, B):
     routes both teams' solves through the lanes-batched Pallas QP kernel
     (agents.dmpc_team.team_step_batch) instead of vmapping per-game
     solves."""
+    if team == "cmpc":
+        from robogame_tpu.agents.centralized import (OFFENSE,
+                                                     team_step_batch)
+        from robogame_tpu.control.cmpc import initial_cmpc_state
+        play = jnp.asarray(OFFENSE, jnp.int32)
+
+        def init():
+            one = (initial_cmpc_state(mpc, dtype),
+                   initial_cmpc_state(mpc, dtype))
+            return jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (B,) + a.shape), one)
+
+        def controls(carry, s):
+            cs_a, cs_b = carry
+            cs_a, u_a = team_step_batch(cs_a, s.x, play, -1, params, mpc)
+            cs_b, u_b = team_step_batch(cs_b, s.x, play, 1, params, mpc)
+            return (cs_a, cs_b), jnp.concatenate([u_a, u_b], axis=1)
+        return init, controls
+
     if team != "dmpc":
         init1, controls1 = _make_team(team, params, mpc, strat, dtype)
 

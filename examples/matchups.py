@@ -58,13 +58,13 @@ def make_team(kind, field, params, mpc, strat, dtype):
                     lambda t, xx: team_policy(t, xx, field, params,
                                               strat))(ts, x))
     if kind == "cmpc":
-        from robogame_tpu.agents.centralized import OFFENSE, team_step
+        from robogame_tpu.agents.centralized import (OFFENSE,
+                                                     team_step_batch)
         from robogame_tpu.control.cmpc import initial_cmpc_state
         play = jnp.asarray(OFFENSE, jnp.int32)
         return (lambda: initial_cmpc_state(mpc, dtype),
-                lambda cs, x: jax.vmap(
-                    lambda c, xx: team_step(c, xx, play, field, params,
-                                            mpc))(cs, x))
+                lambda cs, x: team_step_batch(cs, x, play, field, params,
+                                              mpc))
     if kind == "dmpc":
         from robogame_tpu.agents.dmpc_team import (initial_team_state,
                                                    team_step_batch)

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import A1, A2, B1, B2, PUCK, MpcParams, SimParams
-from ..control.cmpc import CmpcState, compute_control, initial_cmpc_state
+from ..control.cmpc import (CmpcState, compute_control,
+                            compute_control_batch, initial_cmpc_state)
 from ..state import SimStateView
 
 OFFENSE, DEFENSE = 0, 1
@@ -63,6 +64,29 @@ def team_step(cs: CmpcState, x: jax.Array, play, field: int,
     cs, u1, u2 = compute_control(cs, x[a_row], x[d_row], x_att, x_def,
                                  obstacles, params, mpc)
     return cs, jnp.stack([u1, u2])
+
+
+@functools.partial(jax.jit, static_argnames=("field", "params", "mpc"))
+def team_step_batch(cs: CmpcState, x: jax.Array, play, field: int,
+                    params: SimParams, mpc: MpcParams):
+    """Batched ``team_step``: cs leaves carry a leading game axis B, x is
+    (B, 5, 4), play is () or (B,).  All games' joint QPs solve in one
+    lanes-batched call (control.cmpc.compute_control_batch).  Returns
+    (state, (B, 2, 2) velocities)."""
+    B = x.shape[0]
+    rows = (A1, A2, B1, B2) if field < 0 else (B1, B2, A1, A2)
+    a_row, d_row, o1, o2 = rows
+    play_b = jnp.broadcast_to(play, (B,))
+
+    def tgt(x1, p1):
+        x_att, x_def = target_states(p1, x1[PUCK, 0:2], field, params)
+        return x_att, x_def, jnp.stack([x1[o1, 0:2], x1[o2, 0:2]])
+
+    x_att, x_def, obstacles = jax.vmap(tgt)(x, play_b)
+    cs, u1, u2 = compute_control_batch(cs, x[:, a_row], x[:, d_row],
+                                       x_att, x_def, obstacles, params,
+                                       mpc)
+    return cs, jnp.stack([u1, u2], axis=1)
 
 
 class BaselineCentralizedPlayers:

@@ -63,9 +63,27 @@ def _pos_rows(M, N: int, lo: int):
     return M.reshape(N, 8, -1)[:, lo:lo + 2].reshape(2 * N, -1)
 
 
-def _solve_candidate(h, x0, x_des, obs, params: SimParams, mpc: MpcParams,
-                     U0):
-    """One fixed-h SQP; returns (U, cost, converged)."""
+class CmpcPieces(NamedTuple):
+    """Per-candidate joint-QP data independent of the SQP iterate."""
+    H: jax.Array
+    g: jax.Array
+    A_fix: jax.Array
+    lo_fix: jax.Array
+    hi_fix: jax.Array
+    sg1: jax.Array
+    sg2: jax.Array
+    p0_1: jax.Array
+    p0_2: jax.Array
+    phi_x0: jax.Array
+    gam: jax.Array
+    gN: jax.Array
+    phiN_x0: jax.Array
+    obs: jax.Array
+    x_des: jax.Array
+    h: jax.Array
+
+
+def _prepare(h, x0, x_des, obs, params: SimParams, mpc: MpcParams):
     dtype = x0.dtype
     N = mpc.N
     Aj, Bj = _joint_ab(h, params, dtype)
@@ -95,51 +113,76 @@ def _solve_candidate(h, x0, x_des, obs, params: SimParams, mpc: MpcParams,
                               jnp.tile(-box, 2) - off])
     hi_fix = jnp.concatenate([lim * jnp.ones(nU, dtype),
                               jnp.tile(box, 2) - off])
+    return CmpcPieces(
+        H=H, g=g, A_fix=A_fix, lo_fix=lo_fix, hi_fix=hi_fix,
+        sg1=_pos_rows(gam, N, 0).reshape(N, 2, nU),
+        sg2=_pos_rows(gam, N, 4).reshape(N, 2, nU),
+        p0_1=_pos_rows(phi_x0, N, 0).reshape(N, 2),
+        p0_2=_pos_rows(phi_x0, N, 4).reshape(N, 2),
+        phi_x0=phi_x0, gam=gam, gN=gN, phiN_x0=phiN_x0, obs=obs,
+        x_des=x_des, h=h)
 
+
+def _keepout_all(U, prep: CmpcPieces, params: SimParams, mpc: MpcParams):
+    """Keep-out rows of both players vs the obstacles, plus the pairwise
+    player-player row (CentralizedMPC.py:31-38), linearized at U."""
+    N = mpc.N
+    nU = 4 * N
     d2 = (2.0 * params.player_radius) ** 2
-    sg1 = _pos_rows(gam, N, 0).reshape(N, 2, nU)
-    sg2 = _pos_rows(gam, N, 4).reshape(N, 2, nU)
-    p0_1 = _pos_rows(phi_x0, N, 0).reshape(N, 2)
-    p0_2 = _pos_rows(phi_x0, N, 4).reshape(N, 2)
+    X = (prep.phi_x0 + prep.gam @ U).reshape(N, 8)
+    p1 = X[:, 0:2]
+    p2 = X[:, 4:6]
+
+    def keepout(p_bar, sg, p0p, centers):
+        diff = p_bar[None] - centers[:, None]            # (M, N, 2)
+        gval = jnp.sum(diff * diff, -1) - d2
+        rows = 2.0 * jnp.einsum("mnc,ncu->mnu", diff, sg)
+        rhs = (2.0 * jnp.sum(diff * p_bar[None], -1) - gval -
+               2.0 * jnp.sum(diff * p0p[None], -1))
+        return rows.reshape(-1, nU), rhs.reshape(-1)
+
+    r1, b1 = keepout(p1, prep.sg1, prep.p0_1, prep.obs)
+    r2, b2 = keepout(p2, prep.sg2, prep.p0_2, prep.obs)
+    # pairwise: |p1_k - p2_k|^2 >= (2r)^2 (CentralizedMPC.py:38)
+    diffp = p1 - p2
+    gp = jnp.sum(diffp * diffp, -1) - d2
+    rowsp = 2.0 * jnp.einsum("nc,ncu->nu", diffp, prep.sg1 - prep.sg2)
+    rhsp = (2.0 * jnp.sum(diffp * (p1 - p2), -1) - gp -
+            2.0 * jnp.sum(diffp * (prep.p0_1 - prep.p0_2), -1))
+    rows = jnp.concatenate([r1, r2, rowsp], axis=0)
+    rhs = jnp.concatenate([b1, b2, rhsp])
+    return rows, rhs
+
+
+def _finish(U, prep: CmpcPieces, params: SimParams, mpc: MpcParams):
+    dtype = U.dtype
+    Omega = jnp.diag(jnp.asarray([mpc.w_pos, mpc.w_pos, mpc.w_vel,
+                                  mpc.w_vel] * 2, dtype))
+    U = jnp.clip(U, -params.input_limit, params.input_limit)
+    xN = prep.phiN_x0 + prep.gN @ U
+    err = xN - prep.x_des
+    cost = err @ Omega @ err + mpc.N * prep.h
+    return U, cost
+
+
+def _solve_candidate(h, x0, x_des, obs, params: SimParams, mpc: MpcParams,
+                     U0):
+    """One fixed-h SQP; returns (U, cost, converged)."""
+    dtype = x0.dtype
+    prep = _prepare(h, x0, x_des, obs, params, mpc)
 
     def sqp_body(U, _):
-        X = (phi_x0 + gam @ U).reshape(N, 8)
-        p1 = X[:, 0:2]
-        p2 = X[:, 4:6]
-
-        def keepout(p_bar, sg, p0p, centers):
-            diff = p_bar[None] - centers[:, None]            # (M, N, 2)
-            gval = jnp.sum(diff * diff, -1) - d2
-            rows = 2.0 * jnp.einsum("mnc,ncu->mnu", diff, sg)
-            rhs = (2.0 * jnp.sum(diff * p_bar[None], -1) - gval -
-                   2.0 * jnp.sum(diff * p0p[None], -1))
-            return rows.reshape(-1, nU), rhs.reshape(-1)
-
-        r1, b1 = keepout(p1, sg1, p0_1, obs)
-        r2, b2 = keepout(p2, sg2, p0_2, obs)
-        # pairwise: |p1_k - p2_k|^2 >= (2r)^2 (CentralizedMPC.py:38)
-        diffp = p1 - p2
-        gp = jnp.sum(diffp * diffp, -1) - d2
-        rowsp = 2.0 * jnp.einsum("nc,ncu->nu", diffp, sg1 - sg2)
-        rhsp = (2.0 * jnp.sum(diffp * (p1 - p2), -1) - gp -
-                2.0 * jnp.sum(diffp * (p0_1 - p0_2), -1))
-        A = jnp.concatenate([A_fix, r1, r2, rowsp], axis=0)
-        big = 1e9
-        lo = jnp.concatenate([lo_fix, b1, b2, rhsp])
-        hi = jnp.concatenate([hi_fix,
-                              jnp.full(b1.shape, big, x0.dtype),
-                              jnp.full(b2.shape, big, x0.dtype),
-                              jnp.full(rhsp.shape, big, x0.dtype)])
-        sol = solve_qp(H, g, A, lo, hi, iters=mpc.qp_iters,
+        rows, rhs = _keepout_all(U, prep, params, mpc)
+        A = jnp.concatenate([prep.A_fix, rows], axis=0)
+        lo = jnp.concatenate([prep.lo_fix, rhs])
+        hi = jnp.concatenate([prep.hi_fix,
+                              jnp.full(rhs.shape, 1e9, dtype)])
+        sol = solve_qp(prep.H, prep.g, A, lo, hi, iters=mpc.qp_iters,
                        scale_rows=True)
         return sol.x, sol.converged
 
     U, convs = jax.lax.scan(sqp_body, U0, None, length=mpc.sqp_iters)
-    # project out residual ADMM box violation (exact, cheap)
-    U = jnp.clip(U, -params.input_limit, params.input_limit)
-    xN = phiN_x0 + gN @ U
-    err = xN - x_des
-    cost = err @ Omega @ err + N * h          # terminal + final-time cost
+    U, cost = _finish(U, prep, params, mpc)
     return U, cost, convs[-1]
 
 
@@ -175,3 +218,73 @@ def compute_control(state: CmpcState, x0_p1, x0_p2, xf_p1, xf_p2,
                           valid=ok | state.valid,
                           h=jnp.where(ok, hs[k], state.h))
     return new_state, u0[0:2], u0[2:4]
+
+
+@f32_matmul
+@functools.partial(jax.jit, static_argnames=("params", "mpc",
+                                             "use_lanes"))
+def compute_control_batch(state: CmpcState, x0_p1, x0_p2, xf_p1, xf_p2,
+                          obstacles, params: SimParams, mpc: MpcParams,
+                          use_lanes: bool | None = None):
+    """Batched ``compute_control`` over a leading instance axis Bq: all
+    Bq x t_grid candidate joint QPs flatten into one lanes-batched
+    Pallas solve per SQP iteration (see control/dmpc.py for the design;
+    the joint problem is n = 4N variables, m = 4N + 4N + 2 M N + N
+    rows).  ``use_lanes=None`` auto-selects the Pallas path on TPU when
+    4N % 8 == 0."""
+    dtype = jnp.asarray(x0_p1).dtype
+    Bq = x0_p1.shape[0]
+    T = mpc.t_grid
+    nU = 4 * mpc.N
+    if use_lanes is None:
+        use_lanes = (jax.default_backend() == "tpu") and nU % 8 == 0
+
+    x0 = jnp.concatenate([x0_p1, x0_p2], axis=1).astype(dtype)
+    x_des = jnp.concatenate([xf_p1, xf_p2], axis=1).astype(dtype)
+    obs = jnp.asarray(obstacles, dtype).reshape(Bq, N_OBS, 2)
+
+    minT = params.dt * mpc.minT_frac / (mpc.N + 1)
+    maxT = 4.0 * params.dt
+    hs = jax.vmap(lambda h, v: candidate_steps(
+        minT, maxT, T, mpc.t_local, h, v, dtype))(state.h, state.valid)
+
+    rep = lambda a: jnp.repeat(a, T, axis=0)
+    prep = jax.vmap(lambda h, x, xd, o: _prepare(h, x, xd, o, params,
+                                                 mpc))(
+        hs.reshape(-1), rep(x0), rep(x_des), rep(obs))
+
+    U0 = jnp.where(state.valid[:, None], state.U, 0.0).astype(dtype)
+    U = rep(U0)
+    conv = jnp.zeros((Bq * T,), bool)
+    n_ko = 2 * N_OBS * mpc.N + mpc.N
+    big = jnp.full((Bq * T, n_ko), 1e9, dtype)
+    for _ in range(mpc.sqp_iters):
+        rows, rhs = jax.vmap(lambda u, p: _keepout_all(u, p, params,
+                                                       mpc))(U, prep)
+        A_all = jnp.concatenate([prep.A_fix, rows], axis=1)
+        lo = jnp.concatenate([prep.lo_fix, rhs], axis=1)
+        hi = jnp.concatenate([prep.hi_fix, big], axis=1)
+        if use_lanes:
+            from ..ops.qp_pallas import solve_qp_lanes
+            sol = solve_qp_lanes(prep.H, prep.g, A_all, lo, hi,
+                                 iters=mpc.qp_iters, scale_rows=True)
+        else:
+            sol = jax.vmap(lambda H, g, A, l, u: solve_qp(
+                H, g, A, l, u, iters=mpc.qp_iters, scale_rows=True))(
+                prep.H, prep.g, A_all, lo, hi)
+        U, conv = sol.x.astype(dtype), sol.converged
+
+    U, costs = jax.vmap(lambda u, p: _finish(u, p, params, mpc))(U, prep)
+    costs = jnp.where(conv, costs, costs + 1e9).reshape(Bq, T)
+    U = U.reshape(Bq, T, nU)
+    conv = conv.reshape(Bq, T)
+    k = jnp.argmin(costs, axis=1)
+    take = lambda a: jnp.take_along_axis(
+        a, k.reshape(Bq, *([1] * (a.ndim - 1))), axis=1)[:, 0]
+    U_w = take(U)
+    ok = take(conv)
+    h_w = jnp.take_along_axis(hs, k[:, None], axis=1)[:, 0]
+    new_state = CmpcState(U=jnp.where(ok[:, None], U_w, state.U),
+                          valid=ok | state.valid,
+                          h=jnp.where(ok, h_w, state.h))
+    return new_state, U_w[:, 0:2], U_w[:, 2:4]

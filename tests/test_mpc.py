@@ -145,6 +145,53 @@ def test_dmpc_team_step_batch_matches():
                                np.asarray(ref_ts.attacker.U), atol=1e-9)
 
 
+def test_cmpc_batch_matches_vmapped():
+    """cmpc.compute_control_batch == vmapped compute_control on the XLA
+    fallback."""
+    B = 2
+    rng = np.random.default_rng(11)
+    x0_p1 = jnp.asarray(rng.uniform(-1, 1, (B, 4)) * np.array([3, 1, 1, 1]))
+    x0_p2 = jnp.asarray(rng.uniform(-1, 1, (B, 4)) * np.array([3, 1, 1, 1]))
+    xf_p1 = jnp.asarray(np.tile([1.0, 1.0, 0.0, 0.0], (B, 1)))
+    xf_p2 = jnp.asarray(np.tile([1.0, -1.0, 0.0, 0.0], (B, 1)))
+    obs = jnp.asarray(rng.uniform(-1, 1, (B, 2, 2)) * 4.0)
+    states = jax.vmap(lambda _: initial_cmpc_state(MPC, jnp.float64))(
+        jnp.arange(B))
+    for _ in range(2):
+        ref_s, ru1, ru2 = jax.vmap(
+            lambda s, a, b, c, d, e: cmpc.compute_control(
+                s, a, b, c, d, e, PARAMS, MPC))(
+            states, x0_p1, x0_p2, xf_p1, xf_p2, obs)
+        got_s, gu1, gu2 = cmpc.compute_control_batch(
+            states, x0_p1, x0_p2, xf_p1, xf_p2, obs, PARAMS, MPC,
+            use_lanes=False)
+        np.testing.assert_allclose(np.asarray(gu1), np.asarray(ru1),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(gu2), np.asarray(ru2),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(got_s.h),
+                                   np.asarray(ref_s.h), atol=1e-12)
+        states = ref_s
+
+
+def test_cmpc_team_step_batch_matches():
+    from robogame_tpu.agents.centralized import (team_step_batch,
+                                                 team_step as c_step)
+    B = 2
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.uniform(-1, 1, (B, 5, 4)) * np.array([4, 2, 1, 1]))
+    play = jnp.asarray(OFFENSE, jnp.int32)
+    cs = jax.vmap(lambda _: initial_cmpc_state(MPC, jnp.float64))(
+        jnp.arange(B))
+    ref_cs, ref_u = jax.vmap(
+        lambda c, xx: c_step(c, xx, play, -1, PARAMS, MPC))(cs, x)
+    got_cs, got_u = team_step_batch(cs, x, play, -1, PARAMS, MPC)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(ref_u),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(got_cs.U),
+                               np.asarray(ref_cs.U), atol=1e-9)
+
+
 def test_cmpc_joint_solve():
     cs = initial_cmpc_state(MPC, jnp.float64)
     x0_p1 = jnp.asarray([-2.0, 1.0, 0.0, 0.0])
