@@ -128,7 +128,8 @@ def safe_control_batch(u_nominal, positions, velocities,
     (vmapped XLA solver elsewhere), exactly matching per-game
     ``safe_control`` semantics."""
     if use_lanes is None:
-        use_lanes = jax.default_backend() == "tpu"
+        from ..ops.qp_pallas import fits_vmem
+        use_lanes = (jax.default_backend() == "tpu") and fits_vmem(8, 20)
     H, g, A, lo, hi, u_nom = jax.vmap(
         lambda u, p, v: _build_qp(u, p, v, params, cbf))(
         u_nominal, positions, velocities)

@@ -236,8 +236,11 @@ def compute_control_batch(state: CmpcState, x0_p1, x0_p2, xf_p1, xf_p2,
     Bq = x0_p1.shape[0]
     T = mpc.t_grid
     nU = 4 * mpc.N
+    n_rows = 2 * nU + 2 * N_OBS * mpc.N + mpc.N
     if use_lanes is None:
-        use_lanes = (jax.default_backend() == "tpu") and nU % 8 == 0
+        from ..ops.qp_pallas import fits_vmem
+        use_lanes = ((jax.default_backend() == "tpu") and nU % 8 == 0
+                     and fits_vmem(nU, n_rows))
 
     x0 = jnp.concatenate([x0_p1, x0_p2], axis=1).astype(dtype)
     x_des = jnp.concatenate([xf_p1, xf_p2], axis=1).astype(dtype)

@@ -235,8 +235,11 @@ def compute_control_batch(state: DmpcState, x0, x_des, obstacles,
     Bq = x0.shape[0]
     T = mpc.t_grid
     nU = 2 * mpc.N
+    n_rows = nU + 2 * mpc.N + N_NEIGHBORS * mpc.N
     if use_lanes is None:
-        use_lanes = (jax.default_backend() == "tpu") and nU % 8 == 0
+        from ..ops.qp_pallas import fits_vmem
+        use_lanes = ((jax.default_backend() == "tpu") and nU % 8 == 0
+                     and fits_vmem(nU, n_rows))
 
     obs = jnp.asarray(obstacles, dtype).reshape(Bq, N_NEIGHBORS, 2)
     minT = params.dt * mpc.minT_frac / mpc.N

@@ -56,6 +56,18 @@ def _rup(x: int, q: int) -> int:
     return (x + q - 1) // q * q
 
 
+def fits_vmem(n: int, m: int, budget_bytes: int = 12 * 2 ** 20) -> bool:
+    """Whether a (n vars, m rows) problem's per-tile working set fits the
+    ~16 MB VMEM (with headroom for I/O buffers and the compiler): the
+    kernel holds A + rho-scaled A (2 * n * m_pad rows) and K, C, Kinv
+    (3 * n * n rows), all (rows, 128) f32 slabs.  The production joint
+    CMPC (n=80, m=340: ~38 MB) does NOT fit and must use the XLA path;
+    DMPC (n=40, m=140: ~8 MB) and CBF (n=8) do."""
+    m_pad = _rup(m, 8)
+    rows = 2 * n * m_pad + 3 * n * n + 4 * (m_pad + _rup(n, 8))
+    return rows * TILE * 4 <= budget_bytes
+
+
 def _make_kernel(n: int, m: int, n_seg: int, seg_iters: int,
                  sigma: float, alpha: float, tol: float):
     n_pad = _rup(n, 8)

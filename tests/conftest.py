@@ -20,3 +20,16 @@ jax.config.update("jax_enable_x64", True)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound the single-process suite's accumulated compile-cache /
+    executable state: a full run holds hundreds of compiled XLA:CPU
+    programs (several interpret-mode Pallas kernels among them) and has
+    produced a rare XLA:CPU compiler segfault late in the run.  Clearing
+    per module keeps peak state flat at negligible re-compile cost."""
+    yield
+    jax.clear_caches()
