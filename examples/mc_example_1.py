@@ -25,7 +25,7 @@ import numpy as np
 from robogame_tpu import SimParams
 from robogame_tpu.agents.classical import initial_team_state, team_policy
 from robogame_tpu.config import CbfParams, StrategyParams
-from robogame_tpu.control.cbf import safe_control
+from robogame_tpu.control.cbf import safe_control_batch
 from robogame_tpu.parallel.monte_carlo import (McParams, aggregate,
                                                monte_carlo)
 from robogame_tpu.utils.gamelog import GameLogWriter, rows_from_states
@@ -36,14 +36,15 @@ def make_policy(params, strat, cbf, use_cbf):
         ts_a, ts_b = carry
         ts_a, u_a = team_policy(ts_a, s.x, -1, params, strat)
         ts_b, u_b = team_policy(ts_b, s.x, 1, params, strat)
-        u = jnp.concatenate([u_a, u_b], axis=0)
-        if use_cbf:
-            u = safe_control(u, s.x[:4, 0:2], s.x[:4, 2:4], params,
-                             cbf).u
-        return (ts_a, ts_b), u
+        return (ts_a, ts_b), jnp.concatenate([u_a, u_b], axis=0)
 
     def policy(carry, states):
-        return jax.vmap(per_game)(carry, states)
+        carry, u = jax.vmap(per_game)(carry, states)
+        if use_cbf:
+            # all games' CBF-QPs in one lanes-batched solve on TPU
+            u = safe_control_batch(u, states.x[:, :4, 0:2],
+                                   states.x[:, :4, 2:4], params, cbf).u
+        return carry, u
 
     return policy
 
