@@ -99,6 +99,31 @@ def test_dmpc_warm_start_closed_loop_consistency():
     assert err_w <= err_c * 1.05, (err_w, err_c)
 
 
+def test_candidate_steps_hybrid_grid():
+    """Cold: pure geometric global grid.  Warm: incumbent h is always a
+    candidate (repeat solves settle), local candidates stay in bounds,
+    and the global extremes survive for play switches."""
+    minT, maxT, T, L = 0.01, 0.25, 8, 4
+    cold = dmpc.candidate_steps(minT, maxT, T, L, jnp.asarray(0.05),
+                                jnp.asarray(False), jnp.float64)
+    cold = np.asarray(cold)
+    assert cold.shape == (T,)
+    np.testing.assert_allclose(cold[0], minT, rtol=1e-6)
+    np.testing.assert_allclose(cold[-1], maxT, rtol=1e-6)
+    # geometric spacing: constant ratio
+    r = cold[1:] / cold[:-1]
+    np.testing.assert_allclose(r, r[0], rtol=1e-5)
+
+    h_prev = 0.05
+    warm = np.asarray(dmpc.candidate_steps(
+        minT, maxT, T, L, jnp.asarray(h_prev), jnp.asarray(True),
+        jnp.float64))
+    assert warm.shape == (T,)
+    assert np.isclose(warm, h_prev).any(), "incumbent must be a candidate"
+    assert np.isclose(warm, minT).any() and np.isclose(warm, maxT).any()
+    assert (warm >= minT - 1e-9).all() and (warm <= maxT + 1e-9).all()
+
+
 def test_dmpc_batch_matches_vmapped():
     """compute_control_batch (the lanes-solver integration path) must
     reproduce vmapped per-game compute_control exactly on its XLA
