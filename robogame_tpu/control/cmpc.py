@@ -231,7 +231,8 @@ def compute_control_batch(state: CmpcState, x0_p1, x0_p2, xf_p1, xf_p2,
     Pallas solve per SQP iteration (see control/dmpc.py for the design;
     the joint problem is n = 4N variables, m = 4N + 4N + 2 M N + N
     rows).  ``use_lanes=None`` auto-selects the Pallas path on TPU when
-    4N % 8 == 0."""
+    the problem fits the per-tile VMEM budget (the production joint
+    shape does NOT -- see ops.qp_pallas.fits_vmem)."""
     dtype = jnp.asarray(x0_p1).dtype
     Bq = x0_p1.shape[0]
     T = mpc.t_grid
@@ -239,7 +240,7 @@ def compute_control_batch(state: CmpcState, x0_p1, x0_p2, xf_p1, xf_p2,
     n_rows = 2 * nU + 2 * N_OBS * mpc.N + mpc.N
     if use_lanes is None:
         from ..ops.qp_pallas import fits_vmem
-        use_lanes = ((jax.default_backend() == "tpu") and nU % 8 == 0
+        use_lanes = ((jax.default_backend() == "tpu")
                      and fits_vmem(nU, n_rows))
 
     x0 = jnp.concatenate([x0_p1, x0_p2], axis=1).astype(dtype)

@@ -228,9 +228,9 @@ def compute_control_batch(state: DmpcState, x0, x_des, obstacles,
     op.
 
     ``use_lanes=None`` auto-selects: the Pallas path on TPU when the
-    variable count 2N is a multiple of 8, the vmapped XLA solver
+    problem fits the per-tile VMEM budget, the vmapped XLA solver
     otherwise (CPU interpret mode is orders of magnitude slower than
-    XLA on CPU, and the lanes layout needs 8-aligned columns)."""
+    XLA on CPU)."""
     dtype = jnp.asarray(x0).dtype
     Bq = x0.shape[0]
     T = mpc.t_grid
@@ -238,7 +238,7 @@ def compute_control_batch(state: DmpcState, x0, x_des, obstacles,
     n_rows = nU + 2 * mpc.N + N_NEIGHBORS * mpc.N
     if use_lanes is None:
         from ..ops.qp_pallas import fits_vmem
-        use_lanes = ((jax.default_backend() == "tpu") and nU % 8 == 0
+        use_lanes = ((jax.default_backend() == "tpu")
                      and fits_vmem(nU, n_rows))
 
     obs = jnp.asarray(obstacles, dtype).reshape(Bq, N_NEIGHBORS, 2)

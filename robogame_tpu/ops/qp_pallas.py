@@ -237,6 +237,7 @@ def solve_qp_lanes(H, g, A, l, u, iters: int = 50, n_seg: int = 4,
     """
     del rho  # rho0 is derived from trace(H) exactly as in solve_qp
     B, n = g.shape
+    n_orig = n
     m = A.shape[1]
     dtype = jnp.float32
     H = H.astype(dtype)
@@ -266,7 +267,22 @@ def solve_qp_lanes(H, g, A, l, u, iters: int = 50, n_seg: int = 4,
         return p
 
     if n % 8 != 0:
-        raise ValueError(f"solve_qp_lanes requires n % 8 == 0, got {n}")
+        # pad the variable space to 8-aligned width with decoupled dummy
+        # variables (block-diag H, zero g, zero A columns): their
+        # solution is exactly 0 and they never touch the real problem's
+        # residuals, so results are identical after slicing.  The dummy
+        # diagonal equals the mean diagonal so rho0 = trace(H)/n is
+        # preserved exactly (matching ops.qp.solve_qp's heuristic).
+        n2 = _rup(n, 8)
+        tr = jnp.trace(H, axis1=1, axis2=2) / n              # (B,)
+        pad_rows = jnp.zeros((n2,), dtype).at[n:].set(1.0)
+        H2 = (jnp.zeros((B, n2, n2), dtype).at[:, :n, :n].set(H) +
+              tr[:, None, None] *
+              (jnp.eye(n2, dtype=dtype) * pad_rows[:, None])[None])
+        g = jnp.pad(g, ((0, 0), (0, n2 - n)))
+        A = jnp.pad(A, ((0, 0), (0, 0), (0, n2 - n)))
+        H, n = H2, n2
+        n_pad = n
     # H column-major == row-major (symmetric); A column-major with each
     # column zero-padded to m_pad rows (8-aligned sublane offsets)
     H_p = plane(jnp.swapaxes(H, 1, 2), n * n)
@@ -296,6 +312,6 @@ def solve_qp_lanes(H, g, A, l, u, iters: int = 50, n_seg: int = 4,
         interpret=(jax.default_backend() == "cpu"),
     )(H_p, g_p, A_p, l_p, u_p)
 
-    x = x_p[0:n, 0:B].T
+    x = x_p[0:n_orig, 0:B].T
     return QpSolution(x=x, converged=out_p[0, 0:B] > 0.5,
                       prim_res=out_p[1, 0:B], dual_res=out_p[2, 0:B])

@@ -34,7 +34,9 @@ def ref_solve(H, g, A, l, u, **kw):
     return jax.vmap(lambda *a: solve_qp(*a, **kw))(H, g, A, l, u)
 
 
-@pytest.mark.parametrize("n,m,n_eq", [(8, 12, 0), (8, 20, 4), (16, 50, 0)])
+@pytest.mark.parametrize("n,m,n_eq",
+                         [(8, 12, 0), (8, 20, 4), (16, 50, 0),
+                          (10, 17, 0)])   # n % 8 != 0: dummy-var padding
 def test_matches_xla_solver(n, m, n_eq):
     B = 9                       # non-multiple of 128: exercises padding
     H, g, A, l, u = make_qps(B, n, m, seed=n + m, n_eq=n_eq)
