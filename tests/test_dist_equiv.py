@@ -73,6 +73,22 @@ def test_squeeze_impacts_cap_matched(params):
     assert abs(res["damage_z"]) < 3.0
 
 
+def test_stochastic_distributional(params):
+    """Stochastic (noise=1.0) variant: the engines draw noise through
+    structurally different code paths (per-stage draws vs the exact
+    stage-noise covariance), so equivalence is distributional -- damage
+    means within a loose z-bound and puck-state KS small.  Pins the
+    campaign's noise-family result (PARITY.md)."""
+    states = make_states(G, None, params)
+    sched = make_sched("uniform", G, STEPS, seed=23)
+    f_ev, _ = rollout("event", states, sched, params, stochastic=True)
+    f_sw, _ = rollout("sweep", states, sched, params, stochastic=True)
+    res = compare(f_ev, f_sw, "suite: noise sweep-vs-event")
+    assert abs(res["damage_z"]) < 3.5
+    assert res["ks_puck_x"] < 0.12
+    assert res["ks_puck_speed"] < 0.12
+
+
 def test_corner_grinding_envelope(params):
     """Adversarial all-game corner pile-up: the documented worst case.
     Damage bias must stay inside the O(10%) correction envelope; scores
