@@ -20,16 +20,20 @@ Baseline: the compiled reference C++ sim (g++ -O2, Eigen) sustains
 ~18,000 control-steps/s single-core on this machine's CPU (measured with
 tools/oracle_main.cpp on the random_100s schedule; see BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Robustness (VERDICT r2 #1): backend acquisition is probed in a SUBPROCESS
+with retries -- the round-2 driver capture died with rc=1 because
+jax.devices() raised UNAVAILABLE during a TPU-service outage.  If no
+accelerator appears within the retry budget, the bench falls back to CPU
+with a reduced workload and STILL emits the one-line JSON metric, with
+the platform clearly marked.  Always prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-from jax import lax
 
 REFERENCE_STEPS_PER_SEC = 18_000.0  # compiled C++ reference, 1 CPU core
 
@@ -37,8 +41,63 @@ B = 2048
 N_STEPS = 400          # full 20 s game at dt = 0.05 (run_sim.py:15)
 HOLD = 10              # schedule piece length in control steps
 
+# CPU-fallback workload (kept small so the fallback finishes in minutes)
+B_CPU = 128
+N_STEPS_CPU = 100
+
+PROBE_TIMEOUT_S = 240       # generous: backend init through the tunnel is slow
+PROBE_ATTEMPTS = 4
+PROBE_SLEEP_S = 90          # between failed probes (outages recover in ~10-20 min)
+
+
+def probe_backend():
+    """Check in a SUBPROCESS whether an accelerator backend comes up.
+
+    Probing in-process would poison this process's jax backend cache on
+    failure; a subprocess probe is side-effect free.  Returns the platform
+    string ("tpu"/"axon"/...) or None.  The timeout is generous because a
+    wedged tunnel worker must never be hit with short-timeout kills
+    (NOTES.md: killing clients mid-init re-wedges the worker).
+    """
+    code = ("import jax; d = jax.devices(); "
+            "print('PLATFORM=' + d[0].platform)")
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=PROBE_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        return None
+    if out.returncode != 0:
+        return None
+    for line in out.stdout.splitlines():
+        if line.startswith("PLATFORM="):
+            return line.split("=", 1)[1]
+    return None
+
+
+def acquire_backend():
+    """Probe-gated retry loop (the NOTES.md /tmp/tpu_final.sh pattern).
+
+    Returns the platform string, or "cpu" after exhausting the budget
+    (in which case jax is forced onto the CPU backend before import).
+    """
+    for attempt in range(PROBE_ATTEMPTS):
+        platform = probe_backend()
+        if platform is not None:
+            return platform
+        print(f"# bench: backend probe {attempt + 1}/{PROBE_ATTEMPTS} failed; "
+              f"sleeping {PROBE_SLEEP_S}s", file=sys.stderr)
+        if attempt < PROBE_ATTEMPTS - 1:
+            time.sleep(PROBE_SLEEP_S)
+    # Outage: force CPU in THIS process before jax is imported.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    return "cpu"
+
 
 def make_run(engine: str, b: int, n_steps: int, stochastic: bool = False):
+    import jax
+    from jax import lax
+    import jax.numpy as jnp
     from robogame_tpu.config import SimParams
     from robogame_tpu.physics.engine import step
     from robogame_tpu.physics.pallas_step import step_pallas_batch
@@ -70,6 +129,8 @@ def make_run(engine: str, b: int, n_steps: int, stochastic: bool = False):
 
 
 def make_inputs(b: int, n_steps: int):
+    import jax
+    import jax.numpy as jnp
     from robogame_tpu.config import SimParams
     from robogame_tpu.parallel.monte_carlo import McParams, _initial_states
 
@@ -87,6 +148,7 @@ def time_run(run, states, u_base, reps: int = 2, groups: int = 3):
     returned early through tunneled TPU runtimes, inflating async
     measurements.  Best of a few groups: a single group is vulnerable to
     transient tunnel/worker hiccups."""
+    import numpy as np
     s = run(states, u_base)
     _ = np.asarray(s.score)          # compile + warm up
     wall = float("inf")
@@ -99,30 +161,49 @@ def time_run(run, states, u_base, reps: int = 2, groups: int = 3):
     return wall
 
 
+def measure(engine: str, b: int, n_steps: int):
+    _, run = make_run(engine, b, n_steps)
+    states, u_base = make_inputs(b, n_steps)
+    return time_run(run, states, u_base)
+
+
 def main():
-    dev = jax.devices()[0]
+    platform = acquire_backend()
+    on_accel = platform != "cpu"
+    b, n_steps = (B, N_STEPS) if on_accel else (B_CPU, N_STEPS_CPU)
 
-    # fall back to the XLA sweep engine if the Pallas kernel cannot
-    # compile on this platform (always emit a metric)
-    engine = "pallas"
+    note = ""
+    engine = "pallas" if on_accel else "sweep"
     try:
-        _, run = make_run(engine, B, N_STEPS)
-        states, u_base = make_inputs(B, N_STEPS)
-        wall = time_run(run, states, u_base)
-    except Exception:
+        wall = measure(engine, b, n_steps)
+    except Exception as e:  # noqa: BLE001 -- fallback must still emit a metric,
+        # but the failure is SURFACED in the JSON (VERDICT r2 weak #5), not
+        # swallowed: a pallas regression shows up as engine=sweep + error note.
+        if engine == "sweep":
+            raise
+        note = f"pallas failed: {type(e).__name__}: {str(e)[:200]}"
+        print(f"# bench: {note}", file=sys.stderr)
         engine = "sweep"
-        _, run = make_run(engine, B, N_STEPS)
-        states, u_base = make_inputs(B, N_STEPS)
-        wall = time_run(run, states, u_base)
+        wall = measure(engine, b, n_steps)
 
-    steps_per_sec = B * N_STEPS / wall
-    print(json.dumps({
+    steps_per_sec = b * n_steps / wall
+    rec = {
         "metric": "mc_control_steps_per_sec",
         "value": round(steps_per_sec, 1),
-        "unit": (f"steps/s (B={B} full 20s games x {N_STEPS} steps, "
-                 f"per-game schedules, {dev.platform}, {engine})"),
+        "unit": (f"steps/s (B={b} full {n_steps}-step games, "
+                 f"per-game schedules, {platform}, {engine})"),
         "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
-    }))
+        "platform": platform,
+        "engine": engine,
+    }
+    if not on_accel:
+        rec["note"] = ("accelerator backend unavailable after "
+                       f"{PROBE_ATTEMPTS} probes; CPU fallback at reduced "
+                       f"workload (B={b}, {n_steps} steps)")
+    if note:
+        rec["note"] = (rec.get("note", "") + ("; " if rec.get("note") else "")
+                       + note)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -103,7 +103,7 @@ def solve_bb_exact(p0, v0, pf, vf, obs, obs_s, obs_mask,
                    params: SimParams, n_steps: int,
                    qp_iters: int = 250, feas_tol: float = 2e-3,
                    gap_tol: float = 1e-4, max_nodes: int = 4096,
-                   batch: int = 16):
+                   batch: int = 16, bound_eps: float = 1e-3):
     """Best-first branch & bound to the exact MIQP optimum (modulo the
     node QP accuracy; see tests/test_qp_fuzz.py for that envelope).
 
@@ -111,7 +111,13 @@ def solve_bb_exact(p0, v0, pf, vf, obs, obs_s, obs_mask,
     (/root/reference/py/src/NonLinearOptimizer.py:103-108); node
     relaxations are solved on device in fixed-shape batches.  Returns
     ``(Trajectory, info)`` with ``info['nodes']``, ``info['objective']``,
-    ``info['lower_bound']``."""
+    ``info['lower_bound']``.
+
+    Exactness hardening (ADVICE r2): an unconverged node relaxation is
+    NOT proof of infeasibility -- such nodes are re-solved once at 4x
+    ``qp_iters`` before the subtree is pruned; and because the ADMM
+    objective is inexact, node lower bounds carry a relative margin
+    ``f * (1 - bound_eps) - bound_eps`` when used for pruning."""
     dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
     x0 = jnp.concatenate([jnp.asarray(p0, dtype), jnp.asarray(v0, dtype)])
     xf = jnp.concatenate([jnp.asarray(pf, dtype), jnp.asarray(vf, dtype)])
@@ -133,10 +139,10 @@ def solve_bb_exact(p0, v0, pf, vf, obs, obs_s, obs_mask,
             nodes=0, objective=np.inf, lower_bound=np.inf,
             status="infeasible_x0")
 
-    def solve_batch(sides_list):
+    def solve_batch(sides_list, iters=qp_iters):
         sides = jnp.asarray(np.stack(sides_list), jnp.int32)
         U, f, conv, prim, p = _solve_nodes(sides, x0, xf, obs_j, s_j,
-                                           mask_j, params, N, M, qp_iters)
+                                           mask_j, params, N, M, iters)
         return (np.asarray(U), np.asarray(f), np.asarray(conv),
                 np.asarray(prim), np.asarray(p))
 
@@ -158,10 +164,23 @@ def solve_bb_exact(p0, v0, pf, vf, obs, obs_s, obs_mask,
             break
         U, f, conv, prim, p = solve_batch([s for _, s in todo])
         n_solved += len(todo)
+        # escalated re-solve of unconverged nodes BEFORE pruning: a
+        # feasible-but-slow-converging relaxation must not kill a subtree
+        # that may hold the true optimum
+        bad = [i for i in range(len(todo))
+               if not conv[i] and prim[i] > 1e-2]
+        if bad:
+            U2, f2, conv2, prim2, p2 = solve_batch(
+                [todo[i][1] for i in bad], iters=4 * qp_iters)
+            n_solved += len(bad)
+            for bi, i in enumerate(bad):
+                U[i], f[i], p[i] = U2[bi], f2[bi], p2[bi]
+                conv[i], prim[i] = conv2[bi], prim2[bi]
         for i, (lb_parent, sides) in enumerate(todo):
             if not conv[i] and prim[i] > 1e-2:
-                continue  # node relaxation infeasible -> prune subtree
-            node_lb = max(float(f[i]), lb_parent)
+                continue  # still infeasible at 4x iters -> prune subtree
+            node_lb = max(float(f[i]) * (1.0 - bound_eps) - bound_eps,
+                          lb_parent)
             if node_lb >= best_f - gap_tol:
                 continue
             viol = _violations(p[i], obs_np, s_np, mask_np)

@@ -686,7 +686,17 @@ def _twophase_planes(planes, u, params: SimParams, noise_plane=None):
     the remaining depth, results scattered back.  Identical semantics to
     the one-phase kernel whenever at most ``B/compact_frac`` games chain
     past phase 1 (always, in measured MC workloads -- see
-    tests/test_pallas.py::test_twophase_*)."""
+    tests/test_pallas.py::test_twophase_*).
+
+    Overflow guard: when MORE than ``B/compact_frac`` games are still
+    pending after phase 1 (adversarial pile-up-heavy batches), the
+    compacted resume would silently truncate the unselected games at
+    ``phase1_iters`` events instead of ``sweep_iters``.  The pending
+    count (meta row 5) is checked and a rarely-taken ``lax.cond`` branch
+    re-runs the resume over the FULL batch in that case, so two-phase is
+    exactly one-phase-equivalent at every pending count (the XLA
+    conditional executes only the taken branch, so the common path pays
+    nothing)."""
     x_in, meta_in, dmg_in = planes
     Bp = x_in.shape[1]
     p1 = params.phase1_iters
@@ -701,8 +711,21 @@ def _twophase_planes(planes, u, params: SimParams, noise_plane=None):
         (gat(x_in), gat(meta_in), gat(dmg_in)), gat(u), params,
         mode="resume", cap=params.sweep_iters - p1,
         grid_in=gat(grid), carry_in=gat(carry))
-    return (x1.at[:, idx].set(x2), meta1.at[:, idx].set(meta2),
-            dmg1.at[:, idx].set(dmg2))
+    merged = (x1.at[:, idx].set(x2), meta1.at[:, idx].set(meta2),
+              dmg1.at[:, idx].set(dmg2))
+    if K >= Bp:
+        return merged       # budget covers the whole batch; cannot overflow
+
+    def _full_resume(_):
+        # per-lane elementwise resume: lanes in idx recompute the exact
+        # values the compacted resume produced, overflow lanes get their
+        # genuine full-depth results
+        return _kernel_call(planes, u, params, mode="resume",
+                            cap=params.sweep_iters - p1,
+                            grid_in=grid, carry_in=carry)
+
+    n_pend = jnp.sum(pending > 0.5)
+    return lax.cond(n_pend > K, _full_resume, lambda _: merged, None)
 
 
 def rollout_pallas_sorted(states: GameState, u_seq: jax.Array,

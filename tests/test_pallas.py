@@ -157,6 +157,52 @@ def test_twophase_corner_grinding_matches():
     assert abs(d1 - d2) <= 0.15 * max(d1, 1e-6), (d1, d2)
 
 
+def test_twophase_overflow_exact():
+    """When MORE games chain past phase 1 than the compact budget covers,
+    the overflow guard (ADVICE r2) must re-run the resume over the full
+    batch -- two-phase stays EXACTLY one-phase-equivalent instead of
+    silently truncating the unselected games at phase1_iters."""
+    from robogame_tpu.physics.pallas_step import (_kernel_call, _to_planes,
+                                                  _u_plane)
+    p1 = SimParams(dtype="float32", engine="pallas", two_phase=False)
+    p2 = SimParams(dtype="float32", engine="pallas", two_phase=True,
+                   phase1_iters=1, compact_frac=2)
+    B = 256                       # Bp=256, budget K=128 < B
+    x0s = np.tile([0.0, 0.0, 0.0, 0.0], (B, 1))
+    s1 = s2 = _batch_states(p1, x0s, np.arange(1, B + 1))
+    # every game: each player pinned into its own corner by the schedule
+    # -- alternating wall events every grid point (the documented grinder
+    # family: only the just-resolved wall's overlap is corrected in the
+    # tail, the other wall's re-fires next iteration)
+    grind = np.asarray(s1.x).copy()
+    u = np.zeros((B, 4, 2), np.float32)
+    sgn = [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    for p, (sx, sy) in enumerate(sgn):
+        grind[:, p, 0] = 4.81 * sx
+        grind[:, p, 1] = 2.31 * sy
+        grind[:, p, 2] = 0.01 * sx
+        grind[:, p, 3] = 0.01 * sy
+        u[:, p, 0] = 8.0 * sx
+        u[:, p, 1] = 8.0 * sy
+    s1 = s1._replace(x=jnp.asarray(grind))
+    s2 = s2._replace(x=jnp.asarray(grind))
+    u = jnp.asarray(u)
+
+    # sanity: the scenario actually overflows the budget (pending > K)
+    planes, _ = _to_planes(s1, p2)
+    _, meta1, _ = _kernel_call(planes, _u_plane(u, B), p2, mode="full",
+                               cap=1)
+    n_pend = int(np.asarray(meta1[5]).sum())
+    assert n_pend > 128, f"scenario does not overflow (pending={n_pend})"
+
+    for _ in range(4):
+        s1 = step_pallas_batch(s1, u, p1)
+        s2 = step_pallas_batch(s2, u, p2)
+    for f in ("x", "score", "damage", "t"):
+        np.testing.assert_array_equal(np.asarray(getattr(s1, f)),
+                                      np.asarray(getattr(s2, f)), err_msg=f)
+
+
 def test_sorted_rollout_matches_plain():
     """rollout_pallas_sorted only permutes lane assignment; outcomes must
     equal the plain per-step path in the original game order."""
