@@ -26,6 +26,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import MpcParams, SimParams
 from ..models.lqsys import condense, exact_ab
@@ -123,9 +124,12 @@ def _prepare(h, x0, x_des, obs, params: SimParams, mpc: MpcParams):
         x_des=x_des, h=h)
 
 
-def _keepout_all(U, prep: CmpcPieces, params: SimParams, mpc: MpcParams):
+def _keepout_pieces(U, prep: CmpcPieces, params: SimParams,
+                    mpc: MpcParams):
     """Keep-out rows of both players vs the obstacles, plus the pairwise
-    player-player row (CentralizedMPC.py:31-38), linearized at U."""
+    player-player row (CentralizedMPC.py:31-38), linearized at U.
+    Returned as per-player pieces so the structured joint Pallas kernel
+    can consume them without materializing the zero column blocks."""
     N = mpc.N
     nU = 4 * N
     d2 = (2.0 * params.player_radius) ** 2
@@ -149,6 +153,12 @@ def _keepout_all(U, prep: CmpcPieces, params: SimParams, mpc: MpcParams):
     rowsp = 2.0 * jnp.einsum("nc,ncu->nu", diffp, prep.sg1 - prep.sg2)
     rhsp = (2.0 * jnp.sum(diffp * (p1 - p2), -1) - gp -
             2.0 * jnp.sum(diffp * (prep.p0_1 - prep.p0_2), -1))
+    return r1, b1, r2, b2, rowsp, rhsp
+
+
+def _keepout_all(U, prep: CmpcPieces, params: SimParams, mpc: MpcParams):
+    """Dense assembly of ``_keepout_pieces`` (the XLA solver path)."""
+    r1, b1, r2, b2, rowsp, rhsp = _keepout_pieces(U, prep, params, mpc)
     rows = jnp.concatenate([r1, r2, rowsp], axis=0)
     rhs = jnp.concatenate([b1, b2, rhsp])
     return rows, rhs
@@ -225,23 +235,37 @@ def compute_control(state: CmpcState, x0_p1, x0_p2, xf_p1, xf_p2,
                                              "use_lanes"))
 def compute_control_batch(state: CmpcState, x0_p1, x0_p2, xf_p1, xf_p2,
                           obstacles, params: SimParams, mpc: MpcParams,
-                          use_lanes: bool | None = None):
+                          use_lanes: bool | str | None = None):
     """Batched ``compute_control`` over a leading instance axis Bq: all
     Bq x t_grid candidate joint QPs flatten into one lanes-batched
     Pallas solve per SQP iteration (see control/dmpc.py for the design;
     the joint problem is n = 4N variables, m = 4N + 4N + 2 M N + N
-    rows).  ``use_lanes=None`` auto-selects the Pallas path on TPU when
-    the problem fits the per-tile VMEM budget (the production joint
-    shape does NOT -- see ops.qp_pallas.fits_vmem)."""
+    rows).
+
+    ``use_lanes``: ``"joint"`` routes the QPs through the structured
+    two-agent kernel (ops.qp_pallas.solve_qp_lanes_joint -- per-player
+    column blocks + implicit input-box rows + block-Schur solve, the
+    only lanes kernel whose per-tile working set fits VMEM at the
+    production joint shape n=80); ``True`` uses the dense lanes kernel
+    (small horizons only); ``False`` the vmapped XLA solver.  ``None``
+    auto-selects on TPU: dense lanes if it fits, else the joint kernel
+    if IT fits, else XLA."""
     dtype = jnp.asarray(x0_p1).dtype
     Bq = x0_p1.shape[0]
     T = mpc.t_grid
-    nU = 4 * mpc.N
-    n_rows = 2 * nU + 2 * N_OBS * mpc.N + mpc.N
+    N = mpc.N
+    nU = 4 * N
+    n_rows = 2 * nU + 2 * N_OBS * N + N
     if use_lanes is None:
-        from ..ops.qp_pallas import fits_vmem
-        use_lanes = ((jax.default_backend() == "tpu")
-                     and fits_vmem(nU, n_rows))
+        from ..ops.qp_pallas import fits_vmem, fits_vmem_joint
+        if jax.default_backend() != "tpu":
+            use_lanes = False
+        elif fits_vmem(nU, n_rows):
+            use_lanes = True
+        elif fits_vmem_joint(2 * N, 4 * N, N):
+            use_lanes = "joint"
+        else:
+            use_lanes = False
 
     x0 = jnp.concatenate([x0_p1, x0_p2], axis=1).astype(dtype)
     x_des = jnp.concatenate([xf_p1, xf_p2], axis=1).astype(dtype)
@@ -262,7 +286,56 @@ def compute_control_batch(state: CmpcState, x0_p1, x0_p2, xf_p1, xf_p2,
     conv = jnp.zeros((Bq * T,), bool)
     n_ko = 2 * N_OBS * mpc.N + mpc.N
     big = jnp.full((Bq * T, n_ko), 1e9, dtype)
+
+    if use_lanes == "joint":
+        # Static variable permutation: the flat U is knot-major
+        # interleaved ([u1x,u1y,u2x,u2y] per knot); the structured kernel
+        # wants per-player contiguous blocks.  H is EXACTLY block
+        # diagonal under this permutation (decoupled joint dynamics +
+        # diagonal Omega + ridge -- see ops/qp_pallas.py joint-kernel
+        # notes), so only the diagonal blocks are extracted.
+        n1 = 2 * N
+        perm1 = (np.arange(N)[:, None] * 4 +
+                 np.array([0, 1])).reshape(-1)
+        perm2 = perm1 + 2
+        perm_j = np.concatenate([perm1, perm2])
+        inv_j = np.argsort(perm_j)
+        Hb = jnp.stack([prep.H[:, perm1][:, :, perm1],
+                        prep.H[:, perm2][:, :, perm2]], axis=1)
+        g_j = jnp.concatenate([prep.g[:, perm1], prep.g[:, perm2]],
+                              axis=1)
+        # A_fix rows: [eye(nU) input box (implicit -> lx/ux);
+        #              arena p1 (2N); arena p2 (2N)]
+        arena1 = prep.A_fix[:, nU:nU + n1][:, :, perm1]
+        arena2 = prep.A_fix[:, nU + n1:][:, :, perm2]
+        lx = prep.lo_fix[:, :nU][:, perm_j]
+        ux = prep.hi_fix[:, :nU][:, perm_j]
+        lo_a1 = prep.lo_fix[:, nU:nU + n1]
+        hi_a1 = prep.hi_fix[:, nU:nU + n1]
+        lo_a2 = prep.lo_fix[:, nU + n1:]
+        hi_a2 = prep.hi_fix[:, nU + n1:]
+        big_ko = jnp.full((Bq * T, 2 * N), 1e9, dtype)
+        big_p = jnp.full((Bq * T, N), 1e9, dtype)
+
     for _ in range(mpc.sqp_iters):
+        if use_lanes == "joint":
+            from ..ops.qp_pallas import solve_qp_lanes_joint
+            r1, b1, r2, b2, rpr, bpr = jax.vmap(
+                lambda u, p: _keepout_pieces(u, p, params, mpc))(U, prep)
+            Ab = jnp.stack([
+                jnp.concatenate([arena1, r1[:, :, perm1],
+                                 rpr[:, :, perm1]], axis=1),
+                jnp.concatenate([arena2, r2[:, :, perm2],
+                                 rpr[:, :, perm2]], axis=1)], axis=1)
+            l_j = jnp.concatenate([lo_a1, b1, lo_a2, b2, bpr], axis=1)
+            u_j = jnp.concatenate([hi_a1, big_ko, hi_a2, big_ko, big_p],
+                                  axis=1)
+            sol = solve_qp_lanes_joint(Hb, g_j, Ab, l_j, u_j, lx, ux,
+                                       m_own=4 * N, m_pair=N,
+                                       iters=mpc.qp_iters,
+                                       scale_rows=True)
+            U, conv = sol.x[:, inv_j].astype(dtype), sol.converged
+            continue
         rows, rhs = jax.vmap(lambda u, p: _keepout_all(u, p, params,
                                                        mpc))(U, prep)
         A_all = jnp.concatenate([prep.A_fix, rows], axis=1)

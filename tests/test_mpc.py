@@ -199,6 +199,42 @@ def test_cmpc_batch_matches_vmapped():
         states = ref_s
 
 
+def test_cmpc_batch_joint_matches():
+    """The structured joint-kernel path (use_lanes="joint" -> ops.
+    qp_pallas.solve_qp_lanes_joint) must reproduce the XLA path: same
+    winning candidate h, controls to f32 solver tolerance.  N=8 keeps
+    the interpret-mode kernel fast; the production N=20 shape runs on
+    TPU (examples/bench_mpc.py) through this same code path."""
+    mpc8 = MpcParams(N=8, t_grid=4, sqp_iters=2, qp_iters=80)
+    p32 = SimParams(dtype="float32")
+    B = 2
+    rng = np.random.default_rng(17)
+    f32 = jnp.float32
+    x0_p1 = jnp.asarray(rng.uniform(-1, 1, (B, 4)) *
+                        np.array([3, 1, 1, 1]), f32)
+    x0_p2 = jnp.asarray(rng.uniform(-1, 1, (B, 4)) *
+                        np.array([3, 1, 1, 1]), f32)
+    xf_p1 = jnp.asarray(np.tile([1.0, 1.0, 0.0, 0.0], (B, 1)), f32)
+    xf_p2 = jnp.asarray(np.tile([1.0, -1.0, 0.0, 0.0], (B, 1)), f32)
+    obs = jnp.asarray(rng.uniform(-1, 1, (B, 2, 2)) * 4.0, f32)
+    states = jax.vmap(lambda _: initial_cmpc_state(mpc8, f32))(
+        jnp.arange(B))
+    for _ in range(2):
+        ref_s, ru1, ru2 = cmpc.compute_control_batch(
+            states, x0_p1, x0_p2, xf_p1, xf_p2, obs, p32, mpc8,
+            use_lanes=False)
+        got_s, gu1, gu2 = cmpc.compute_control_batch(
+            states, x0_p1, x0_p2, xf_p1, xf_p2, obs, p32, mpc8,
+            use_lanes="joint")
+        np.testing.assert_allclose(np.asarray(gu1), np.asarray(ru1),
+                                   atol=2e-3, rtol=1e-2)
+        np.testing.assert_allclose(np.asarray(gu2), np.asarray(ru2),
+                                   atol=2e-3, rtol=1e-2)
+        np.testing.assert_array_equal(np.asarray(got_s.h),
+                                      np.asarray(ref_s.h))
+        states = ref_s
+
+
 def test_cmpc_team_step_batch_matches():
     from robogame_tpu.agents.centralized import (team_step_batch,
                                                  team_step as c_step)
