@@ -119,7 +119,8 @@ def run_matchup(name, kind_a, kind_b, use_cbf, args, params, mpc, strat,
     policy, binit = make_policy(kind_a, kind_b, use_cbf, params, mpc,
                                 strat, cbf, B)
     t0 = time.time()
-    res = monte_carlo(params, mc, policy=policy, policy_state=binit())
+    res = monte_carlo(params, mc, policy=policy, policy_state=binit(),
+                      chunk_steps=args.chunk)
     sc = np.asarray(res.scores)
     dmg = np.asarray(res.damage).sum((1, 2))
     wall = time.time() - t0
@@ -151,6 +152,10 @@ def main():
     ap.add_argument("--only", default=None,
                     help="comma-separated matchup names")
     ap.add_argument("--json", default=None, help="write results here")
+    ap.add_argument("--chunk", type=int, default=100,
+                    help="max control steps per XLA execution (host-synced "
+                         "chunking; the tunneled TPU worker kills single "
+                         "executions beyond ~60-90 s wall -- NOTES.md r3)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-check", action="store_true",
                     help="skip the qualitative-invariant assertions")

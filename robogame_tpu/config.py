@@ -70,6 +70,14 @@ class SimParams:
     #   "pallas" -- the sweep algorithm as one fused Pallas TPU kernel,
     #               batch in lanes, whole step in VMEM (~65x the sweep
     #               path at B=2048; physics/pallas_step.py).
+    #   "pallas_exact" -- event-ORDER-exact Pallas kernel: each game
+    #               resolves its single globally-earliest event per loop
+    #               iteration with sequential feedback re-propagation --
+    #               the reference's exact GameSim::updateSim semantics
+    #               (GameSim.cpp:136-150) at lane-batched throughput.
+    #               Deterministic only (the reference's stochastic mode
+    #               draws per-event noise inside the loop; use
+    #               engine="event" for stochastic parity runs).
     engine: str = "event"
     sweep_iters: int = 50              # event-loop iteration cap in
                                        # sweep/pallas mode, default = the
@@ -109,10 +117,15 @@ class SimParams:
     compact_frac: int = 4
 
     def __post_init__(self):
-        if self.engine not in ("event", "sweep", "pallas"):
+        if self.engine not in ("event", "sweep", "pallas", "pallas_exact"):
             raise ValueError(
-                f"SimParams.engine must be 'event', 'sweep' or 'pallas', "
-                f"got {self.engine!r}")
+                f"SimParams.engine must be 'event', 'sweep', 'pallas' or "
+                f"'pallas_exact', got {self.engine!r}")
+        if self.engine == "pallas_exact" and self.stochastic:
+            raise ValueError(
+                "engine='pallas_exact' is deterministic-only (the "
+                "reference draws per-event noise inside the loop); use "
+                "engine='event' for stochastic event-order parity")
         if self.two_phase and not 0 < self.phase1_iters < self.sweep_iters:
             raise ValueError(
                 "two_phase needs 0 < phase1_iters < sweep_iters, got "

@@ -85,7 +85,8 @@ def _run_batch(states: GameState, params: SimParams, n_steps: int,
             ps2 = ps
         else:
             ps2, u = policy(ps, s)
-        if params.engine == "pallas" and not params.stochastic:
+        if (params.engine in ("pallas", "pallas_exact")
+                and not params.stochastic):
             from ..physics.pallas_step import step_pallas_batch
             s2 = step_pallas_batch(s, u, params)
         else:
@@ -93,20 +94,61 @@ def _run_batch(states: GameState, params: SimParams, n_steps: int,
         rec = jax.vmap(log_record)(s2) if log else None
         return (s2, ps2), rec
 
-    (final, _), recs = lax.scan(body, (states, policy_state), None,
-                                length=n_steps)
+    (final, ps_final), recs = lax.scan(body, (states, policy_state), None,
+                                       length=n_steps)
+    return final, ps_final, recs
+
+
+def _run_batch_chunked(states: GameState, params: SimParams, n_steps: int,
+                       policy, policy_state, log: bool, chunk_steps: int):
+    """Host-chunked rollout: the n_steps scan is split into segments of at
+    most ``chunk_steps`` steps, each its own XLA execution with the
+    (states, policy_state) carry returned to host between segments.
+
+    Rationale (NOTES.md round-3): any single XLA execution running longer
+    than ~60-90 s wall crashes the tunneled TPU worker ("TPU worker
+    process crashed") -- reproduced with a plain matmul scan, independent
+    of program content or trip count.  Long closed-loop policy rollouts
+    (classical team at B>=64 over full 400-step games, the VERDICT r2 #3
+    workload) exceed that budget in one execution; chunking keeps each
+    execution safely under it at the cost of one host sync per chunk.
+    Segment results are bit-identical to the single-scan rollout (the
+    scan carry is exactly the chunk boundary state)."""
+    final, recs_parts = states, []
+    done = 0
+    while done < n_steps:
+        n = min(chunk_steps, n_steps - done)
+        final, policy_state, recs = _run_batch(final, params, n, policy,
+                                               policy_state, log)
+        if log:
+            recs_parts.append(jax.tree.map(np.asarray, recs))
+        else:
+            jax.block_until_ready(final.score)
+        done += n
+    if log:
+        recs = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0),
+                            *recs_parts)
+    else:
+        recs = None
     return final, recs
 
 
 def monte_carlo(params: SimParams, mc: McParams,
                 policy: Callable | None = None, policy_state=None,
                 mesh=None, log: bool = False,
-                write_config: bool = False) -> McResult:
+                write_config: bool = False,
+                chunk_steps: int | None = None) -> McResult:
     """Run the full sweep.  With ``mesh`` given, the game batch is sharded
     across devices; ``num_runs`` that does not divide the device count is
     padded with duplicate games (results sliced back to ``num_runs``).  The
     pallas engine additionally runs per-shard under shard_map so each
-    device drives its own kernel grid -- no cross-device gathers."""
+    device drives its own kernel grid -- no cross-device gathers.
+
+    ``chunk_steps``: split the rollout into host-synced XLA executions of
+    at most this many control steps (bit-identical results) -- required
+    for heavy closed-loop policies whose full-game single execution would
+    exceed the tunneled worker's ~60-90 s execution budget (see
+    _run_batch_chunked)."""
     n_steps = int(np.ceil(mc.T / params.dt))
     states = _initial_states(params, mc)
     n_pad = 0
@@ -119,16 +161,18 @@ def monte_carlo(params: SimParams, mc: McParams,
             states = jax.tree.map(
                 lambda a: jnp.concatenate([a, a[pad_idx]], axis=0), states)
         states = shard_batch(states, mesh)
-        if params.engine == "pallas" and not params.stochastic \
-                and policy is None and not log:
-            final, recs = _run_batch_shard_map(states, params, n_steps,
-                                               mesh), None
-        else:
-            final, recs = _run_batch(states, params, n_steps, policy,
-                                     policy_state, log)
+    if (mesh is not None
+            and params.engine in ("pallas", "pallas_exact")
+            and not params.stochastic
+            and policy is None and not log):
+        final, recs = _run_batch_shard_map(states, params, n_steps,
+                                           mesh), None
+    elif chunk_steps is not None and chunk_steps < n_steps:
+        final, recs = _run_batch_chunked(states, params, n_steps, policy,
+                                         policy_state, log, chunk_steps)
     else:
-        final, recs = _run_batch(states, params, n_steps, policy,
-                                 policy_state, log)
+        final, _, recs = _run_batch(states, params, n_steps, policy,
+                                    policy_state, log)
     if write_config:
         write_configuration(params, mc)
     if n_pad:

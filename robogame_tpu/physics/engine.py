@@ -203,8 +203,9 @@ def step(state: GameState, controls: jax.Array,
     ``params.engine`` selects the implementation: "event" (this module,
     reference-exact) or "sweep" (physics/sweep.py, TPU-throughput).
     """
-    if params.engine == "pallas" and not params.stochastic:
-        # the pallas kernel is natively batched; single-state calls wrap
+    if (params.engine == "pallas_exact" or
+            (params.engine == "pallas" and not params.stochastic)):
+        # the pallas kernels are natively batched; single-state calls wrap
         # into a batch of one (padded to a 128-lane tile internally)
         from .pallas_step import step_pallas_batch
         batched = jax.tree.map(lambda a: a[None], state)

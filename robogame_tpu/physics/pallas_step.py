@@ -101,9 +101,13 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
     """mode: 'full' (one pass, finalize), 'export' (finalize AND dump the
     event-loop state -- grid planes + carry -- so unconverged games can be
     compacted and finished by a 'resume' kernel), 'resume' (skip populate,
-    restart the loop from imported grid+carry).  See
-    step_pallas_batch_twophase."""
-    stochastic = params.stochastic and mode != "resume"
+    restart the loop from imported grid+carry), 'exact' (event-ORDER-exact
+    loop: each lane resolves its single globally-earliest event per
+    iteration with sequential feedback re-propagation -- the reference's
+    GameSim::updateSim semantics, /root/reference/src/GameSim.cpp:136-150
+    -- instead of the throughput mode's parallel disjoint resolution).
+    See step_pallas_batch / _twophase_planes."""
+    stochastic = params.stochastic and mode not in ("resume", "exact")
     G = params.grid_points
     dt = params.dt
     dtcol = params.dt_col
@@ -115,7 +119,13 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
     masses = params.masses
     taus = params.taus
     drags = params.drags
-    iters = cap if cap is not None else params.sweep_iters
+    if mode == "exact":
+        # mirror engine.py's loop budget: counter starts at 1 and the
+        # loop runs while counter < collision_counter_lim
+        # (/root/reference/include/GameSim.h:7, GameSim.cpp:136)
+        iters = cap if cap is not None else params.collision_counter_lim
+    else:
+        iters = cap if cap is not None else params.sweep_iters
     E = 5
 
     winning_score = float(params.winning_score)
@@ -136,7 +146,12 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
         if mode == "export":
             gridout_ref = rest.pop(0)
             carryout_ref = rest.pop(0)
-        gc = rest
+        gc = rest[:NC]
+        # exact mode: 8 extra (G+1, TILE) scratch slabs holding the two
+        # involved entities' re-propagated columns ("role i" = the popped
+        # entity, "role j" = its pair partner), scattered into gc after
+        # the sequential feedback loop
+        role = rest[NC:]
         # decided-game freeze (GameSim::run gate, GameSim.cpp:118-124),
         # applied in-kernel so step glue needs no extra XLA ops
         undec = ((meta_ref[0] < winning_score) &
@@ -583,28 +598,300 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
             return (st2, sj2, sc2, sv2, scored2, incA2, incB2, dmg_new,
                     base_new, actv2, it + 1)
 
-        if mode == "resume":
-            base0 = jnp.stack([carryin_ref[e].astype(jnp.int32)
-                               for e in range(E)])
-            scored0 = carryin_ref[5]
-            incA0 = carryin_ref[6]
-            incB0 = carryin_ref[7]
-            dmg0 = jnp.stack([carryin_ref[8 + r] for r in range(16)])
-            actv0 = carryin_ref[24]
-        else:
-            scored0 = jnp.zeros((TILE,), jnp.float32)
-            incA0 = incB0 = jnp.zeros((TILE,), jnp.float32)
-            dmg0 = jnp.zeros((16, TILE), jnp.float32)
+        # ------------------------------------------------------------------
+        # exact mode: one globally-earliest event per lane per iteration
+        # (engine.py loop_body / GameSim.cpp:136-150 semantics)
+        # ------------------------------------------------------------------
+        def cond_exact(carry):
+            (_, _, _, sv_s, _, _, _, _, _, it) = carry
+            return jnp.any(sv_s > 0.5) & (it < iters)
+
+        def body_exact(carry):
+            (st_s, sj_s, sc_s, sv_s, scored_f, incA, incB, dmg, actv,
+             it) = carry
+            scored = scored_f > 0.5
+            sv = [sv_s[a] > 0.5 for a in range(E)]
+            te = [jnp.where(sv[a], st_s[a], _INF) for a in range(E)]
+
+            # --- pop earliest; ties -> highest entity index (the
+            # reference's descending sort pops the back; engine.py:284-285)
+            take = []
+            for a in range(E):
+                beaten = jnp.zeros((TILE,), bool)
+                for b in range(E):
+                    if b == a:
+                        continue
+                    beaten = beaten | (sv[b] & ((te[b] < te[a]) |
+                                                ((te[b] == te[a]) &
+                                                 (b > a))))
+                take.append(sv[a] & ~beaten)
+            any_take = jnp.zeros((TILE,), bool)
+            for a in range(E):
+                any_take = any_take | take[a]
+
+            ihot = [jnp.where(take[a], 1.0, 0.0) for a in range(E)]
+            t_pop = sum(jnp.where(take[a], st_s[a], 0.0) for a in range(E))
+            ct = sum(jnp.where(take[a], sc_s[a], 0) for a in range(E))
+            is_pair = ct == 4
+            j_raw = sum(jnp.where(take[a], sj_s[a], 0) for a in range(E))
+            e_j = jnp.where(is_pair, j_raw, 0)          # safe index
+            e_pop_v = sum(jnp.where(take[a], a, 0) for a in range(E))
+            jhot = [jnp.where(e_j == o, 1.0, 0.0) for o in range(E)]
+
+            # scored latch: pop + skip consumes a counter iteration
+            # (GameSim.cpp:229-231 / engine.py:291-295)
+            puck_inv = take[PUCK] | (is_pair & (e_j == PUCK))
+            skip = puck_inv & scored
+            live = any_take & ~skip
+
+            # --- gather the two involved entities at column km1 ----------
+            km1 = jnp.clip((t_pop / dtcol).astype(jnp.int32), 0, G - 1)
+            base_new = km1 + 1
+            cols = gather_cols(km1)
+            xi = [sum(ihot[e] * cols[e * 4 + c] for e in range(E))
+                  for c in range(4)]
+            xj = [sum(jhot[o] * cols[o * 4 + c] for o in range(E))
+                  for c in range(4)]
+            r_i = sum(ihot[e] * radii[e] for e in range(E))
+            m_i = sum(ihot[e] * masses[e] for e in range(E))
+            tau_i = sum(ihot[e] * taus[e] for e in range(E))
+            drag_i = sum(ihot[e] * drags[e] for e in range(E))
+            u_i = (sum(ihot[e] * u_ref[e * 2] for e in range(E)),
+                   sum(ihot[e] * u_ref[e * 2 + 1] for e in range(E)))
+            r_j = sum(jhot[o] * radii[o] for o in range(E))
+            m_j = sum(jhot[o] * masses[o] for o in range(E))
+            tau_j = sum(jhot[o] * taus[o] for o in range(E))
+            drag_j = sum(jhot[o] * drags[o] for o in range(E))
+            u_j = (sum(jhot[o] * u_ref[o * 2] for o in range(E)),
+                   sum(jhot[o] * u_ref[o * 2 + 1] for o in range(E)))
+            # tau_i is 0 only where no slot popped (masked out downstream)
+            tau_i = jnp.where(tau_i > 0, tau_i, 1.0)
+            tau_j = jnp.where(tau_j > 0, tau_j, 1.0)
+
+            dt_t = t_pop - km1.astype(jnp.float32) * dtcol
+            xi_t = rk4(*xi, *u_i, tau_i, drag_i, dt_t)
+            xj_t = rk4(*xj, *u_j, tau_j, drag_j, dt_t)
+
+            # --- INTER_AGENT: de-penetrate (1.01) + elastic impulse ------
+            pijx = xj_t[0] - xi_t[0]
+            pijy = xj_t[1] - xi_t[1]
+            pn = jnp.sqrt(pijx * pijx + pijy * pijy)
+            ovl = r_i + r_j - pn
+            app = ovl > 0
+            rsum = jnp.where(r_i + r_j > 0, r_i + r_j, 1.0)
+            ci = jnp.where(app, 1.01 * r_i / rsum * ovl, 0.0)
+            cj = jnp.where(app, 1.01 * r_j / rsum * ovl, 0.0)
+            p_ix = xi_t[0] - ci * pijx
+            p_iy = xi_t[1] - ci * pijy
+            p_jx = xj_t[0] + cj * pijx
+            p_jy = xj_t[1] + cj * pijy
+            d12x = p_ix - p_jx
+            d12y = p_iy - p_jy
+            den = d12x * d12x + d12y * d12y
+            den = jnp.where(den > 0, den, 1.0)
+            rvx = xi_t[2] - xj_t[2]
+            rvy = xi_t[3] - xj_t[3]
+            dot = (rvx * d12x + rvy * d12y) / den
+            msum = jnp.where(m_i + m_j > 0, m_i + m_j, 1.0)
+            vi_nx = xi_t[2] - 2.0 * m_j / msum * dot * d12x
+            vi_ny = xi_t[3] - 2.0 * m_j / msum * dot * d12y
+            vj_nx = xj_t[2] + 2.0 * m_i / msum * dot * d12x
+            vj_ny = xj_t[3] + 2.0 * m_i / msum * dot * d12y
+
+            # --- damage (GameSim.cpp:276-283) ----------------------------
+            dmg_rows = [dmg[r] for r in range(16)]
+            dv2 = 0.01 * (rvx * rvx + rvy * rvy)
+            for a in range(4):
+                for o in range(4):
+                    if a == o:
+                        continue
+                    m = live & is_pair & take[a] & (e_j == o)
+                    dmg_rows[a * 4 + o] = dmg_rows[a * 4 + o] + \
+                        jnp.where(m, masses[a] * dv2, 0.0)
+                    dmg_rows[o * 4 + a] = dmg_rows[o * 4 + a] + \
+                        jnp.where(m, masses[o] * dv2, 0.0)
+
+            # --- WALL: sign-conditioned flip + goal ----------------------
+            flip_y = (((ct == 0) & (xi_t[3] > 0)) |
+                      ((ct == 1) & (xi_t[3] < 0)))
+            flip_x = (((ct == 2) & (xi_t[2] > 0)) |
+                      ((ct == 3) & (xi_t[2] < 0)))
+            w_vx = jnp.where(flip_x, -xi_t[2], xi_t[2])
+            w_vy = jnp.where(flip_y, -xi_t[3], xi_t[3])
+            goal = ((~is_pair) & take[PUCK] & ((ct == 2) | (ct == 3)) &
+                    (xi_t[1] < gh2) & (xi_t[1] > -gh2))
+            one = jnp.float32(1.0)
+            zero = jnp.float32(0.0)
+            ginc = goal & live & ~scored
+            incA2 = incA + jnp.where(ginc & (ct == 2), one, zero)
+            incB2 = incB + jnp.where(ginc & (ct == 3), one, zero)
+            new_scored = scored | (goal & live)
+
+            # --- value at grid column base_new ---------------------------
+            xi_res = [jnp.where(is_pair, p_ix, xi_t[0]),
+                      jnp.where(is_pair, p_iy, xi_t[1]),
+                      jnp.where(is_pair, vi_nx, w_vx),
+                      jnp.where(is_pair, vi_ny, w_vy)]
+            xj_res = [p_jx, p_jy, vj_nx, vj_ny]
+            rem = dtcol - dt_t
+            xi_b = rk4(*xi_res, *u_i, tau_i, drag_i, rem)
+            xj_b = rk4(*xj_res, *u_j, tau_j, drag_j, rem)
+            pbx = xj_b[0] - xi_b[0]
+            pby = xj_b[1] - xi_b[1]
+            pn2 = jnp.sqrt(pbx * pbx + pby * pby)
+            ov2 = r_i + r_j - pn2
+            ap2 = ov2 > 0
+            ci2 = jnp.where(ap2, buf * r_i / rsum * ov2, 0.0)
+            cj2 = jnp.where(ap2, buf * r_j / rsum * ov2, 0.0)
+            xi_b_pair = [xi_b[0] - ci2 * pbx, xi_b[1] - ci2 * pby,
+                         xi_b[2], xi_b[3]]
+            xj_b = [xj_b[0] + cj2 * pbx, xj_b[1] + cj2 * pby,
+                    xj_b[2], xj_b[3]]
+            ovw = [xi_b[1] + r_i - halfy, -xi_b[1] + r_i - halfy,
+                   xi_b[0] + r_i - halfx, -xi_b[0] + r_i - halfx]
+            dirx = [0.0, 0.0, -1.0, 1.0]
+            diry = [-1.0, 1.0, 0.0, 0.0]
+            cwx = jnp.zeros((TILE,), jnp.float32)
+            cwy = jnp.zeros((TILE,), jnp.float32)
+            for w in range(4):
+                on = (ct == w) & (ovw[w] > 0)
+                cwx = cwx + jnp.where(on, buf * ovw[w] * dirx[w], 0.0)
+                cwy = cwy + jnp.where(on, buf * ovw[w] * diry[w], 0.0)
+            xi_b_wall = [xi_b[0] + cwx, xi_b[1] + cwy, xi_b[2], xi_b[3]]
+            xi_base = tuple(
+                jnp.where(is_pair, xi_b_pair[c],
+                          jnp.where(goal, 0.0, xi_b_wall[c]))
+                for c in range(4))
+            xj_base = tuple(xj_b)
+
+            # --- sequential feedback re-propagation over the remaining
+            # columns with per-column overlap fix-ups (engine.py:392-416,
+            # GameSim.cpp:292-297,336-340).  Unlike the throughput mode's
+            # feedback-FREE affine tail, each column propagates from the
+            # previous column's CORRECTED value.
+            def col_body(k, rcarry):
+                ri, rj = rcarry
+                pi = rk4(ri[0], ri[1], ri[2], ri[3], u_i[0], u_i[1],
+                         tau_i, drag_i, dtcol)
+                pj = rk4(rj[0], rj[1], rj[2], rj[3], u_j[0], u_j[1],
+                         tau_j, drag_j, dtcol)
+                # pair overlap correction (buf) between the two
+                dx = pj[0] - pi[0]
+                dy = pj[1] - pi[1]
+                d = jnp.sqrt(dx * dx + dy * dy)
+                ov = r_i + r_j - d
+                go = ov > 0
+                cie = jnp.where(go, buf * r_i / rsum * ov, 0.0)
+                cje = jnp.where(go, buf * r_j / rsum * ov, 0.0)
+                pi_pair = [pi[0] - cie * dx, pi[1] - cie * dy, pi[2], pi[3]]
+                pj_pair = [pj[0] + cje * dx, pj[1] + cje * dy, pj[2], pj[3]]
+                # wall correction on i against the SAME wall
+                ow = [pi[1] + r_i - halfy, -pi[1] + r_i - halfy,
+                      pi[0] + r_i - halfx, -pi[0] + r_i - halfx]
+                wx = pi[0]
+                wy = pi[1]
+                for w in range(4):
+                    on = (ct == w) & (ow[w] > 0)
+                    wx = wx + jnp.where(on, buf * ow[w] * dirx[w], 0.0)
+                    wy = wy + jnp.where(on, buf * ow[w] * diry[w], 0.0)
+                pi_wall = [wx, wy, pi[2], pi[3]]
+                ci_corr = [jnp.where(is_pair, pi_pair[c], pi_wall[c])
+                           for c in range(4)]
+                gate = live & (k > base_new)
+                ri2 = tuple(jnp.where(gate, ci_corr[c], ri[c])
+                            for c in range(4))
+                rj2 = tuple(jnp.where(gate & is_pair, pj_pair[c], rj[c])
+                            for c in range(4))
+                rowm = kcol == k
+                for c in range(4):
+                    role[c][:] = jnp.where(rowm, ri2[c][None, :],
+                                           role[c][:])
+                    role[4 + c][:] = jnp.where(rowm, rj2[c][None, :],
+                                               role[4 + c][:])
+                return (ri2, rj2)
+
+            lax.fori_loop(1, G + 1, col_body, (xi_base, xj_base))
+
+            # --- scatter role slabs into the grid planes -----------------
+            rowm = kcol >= base_new[None, :]
+            for e in range(E):
+                mi = (take[e] & live)[None, :] & rowm
+                mj = (is_pair & (e_j == e) & live)[None, :] & rowm
+                for c in range(4):
+                    gc[e * 4 + c][:] = jnp.where(
+                        mi, role[c][:],
+                        jnp.where(mj, role[4 + c][:], gc[e * 4 + c][:]))
+
+            # --- slot bookkeeping (engine.py:419-439): drop slots touching
+            # affected entities WITHOUT recompute (reference quirk),
+            # re-detect only the affected entities from base_new
+            st_r, sj_r, sc_r, sv_r = detect([base_new] * E)
+            st2l, sj2l, sc2l, sv2l = [], [], [], []
+            for e in range(E):
+                touched_e = (e_pop_v == e) | (is_pair & (e_j == e))
+                jt = (((sj_s[e] == e_pop_v) |
+                       (is_pair & (sj_s[e] == e_j))) & (sj_s[e] >= 0))
+                valid_kept = sv[e] & ~touched_e & ~jt
+                aff_e = touched_e & live
+                st_n = jnp.where(aff_e, st_r[e], st_s[e])
+                sj_n = jnp.where(aff_e, sj_r[e], sj_s[e])
+                sc_n = jnp.where(aff_e, sc_r[e], sc_s[e])
+                sv_n = jnp.where(aff_e, jnp.where(sv_r[e], 1.0, 0.0),
+                                 jnp.where(valid_kept, 1.0, 0.0))
+                # skip case: only invalidate the popped slot
+                sv_skip = jnp.where(take[e], 0.0, sv_s[e])
+                upd = any_take & ~skip
+                st2l.append(jnp.where(upd, st_n, st_s[e]))
+                sj2l.append(jnp.where(upd, sj_n, sj_s[e]))
+                sc2l.append(jnp.where(upd, sc_n, sc_s[e]))
+                sv2l.append(jnp.where(upd, sv_n,
+                                      jnp.where(skip, sv_skip, sv_s[e])))
+
+            actv2 = actv + jnp.where(any_take, one, zero)
+            scored2 = jnp.where(new_scored, one, zero)
+            return (jnp.stack(st2l), jnp.stack(sj2l), jnp.stack(sc2l),
+                    jnp.stack(sv2l), scored2, incA2, incB2,
+                    jnp.stack(dmg_rows), actv2, it + 1)
+
+        if mode == "exact":
             base0 = jnp.ones((E, TILE), jnp.int32)
-            actv0 = jnp.zeros((TILE,), jnp.float32)
-        st0, sj0, sc0, sv0 = detect_stacked(base0, scored0 > 0.5)
-        init = (st0, sj0, sc0, sv0, scored0, incA0, incB0, dmg0, base0,
-                actv0, jnp.asarray(0, jnp.int32))
-        # while-loop: a tile with no pending events exits immediately
-        # instead of paying all `iters` rounds
-        out = jax.lax.while_loop(loop_cond, body, init)
-        (_, _, _, sv_f, scored_f, incA, incB, dmg, base_f, actv,
-         it_ran) = out
+            scored0 = jnp.zeros((TILE,), jnp.float32)
+            t0l, j0l, c0l, v0l = detect([base0[e] for e in range(E)])
+            init = (jnp.stack(t0l), jnp.stack(j0l), jnp.stack(c0l),
+                    jnp.stack([jnp.where(v0l[a], 1.0, 0.0)
+                               for a in range(E)]),
+                    scored0, jnp.zeros((TILE,), jnp.float32),
+                    jnp.zeros((TILE,), jnp.float32),
+                    jnp.zeros((16, TILE), jnp.float32),
+                    jnp.zeros((TILE,), jnp.float32),
+                    jnp.asarray(1, jnp.int32))
+            out = jax.lax.while_loop(cond_exact, body_exact, init)
+            (_, _, _, sv_f, scored_f, incA, incB, dmg, actv, it_f) = out
+            base_f = base0
+            it_ran = it_f - 1
+        else:
+            if mode == "resume":
+                base0 = jnp.stack([carryin_ref[e].astype(jnp.int32)
+                                   for e in range(E)])
+                scored0 = carryin_ref[5]
+                incA0 = carryin_ref[6]
+                incB0 = carryin_ref[7]
+                dmg0 = jnp.stack([carryin_ref[8 + r] for r in range(16)])
+                actv0 = carryin_ref[24]
+            else:
+                scored0 = jnp.zeros((TILE,), jnp.float32)
+                incA0 = incB0 = jnp.zeros((TILE,), jnp.float32)
+                dmg0 = jnp.zeros((16, TILE), jnp.float32)
+                base0 = jnp.ones((E, TILE), jnp.int32)
+                actv0 = jnp.zeros((TILE,), jnp.float32)
+            st0, sj0, sc0, sv0 = detect_stacked(base0, scored0 > 0.5)
+            init = (st0, sj0, sc0, sv0, scored0, incA0, incB0, dmg0, base0,
+                    actv0, jnp.asarray(0, jnp.int32))
+            # while-loop: a tile with no pending events exits immediately
+            # instead of paying all `iters` rounds
+            out = jax.lax.while_loop(loop_cond, body, init)
+            (_, _, _, sv_f, scored_f, incA, incB, dmg, base_f, actv,
+             it_ran) = out
 
         # frozen lanes keep their inputs; live lanes advance
         xfin = jnp.stack([gc[c][G, :] for c in range(NC)])
@@ -660,7 +947,10 @@ def step_pallas_batch(states: GameState, controls: jax.Array,
     B = states.score.shape[0]
     planes, new_keys = _to_planes(states, params)
     u = _u_plane(controls, B)
-    if params.two_phase:
+    if params.engine == "pallas_exact":
+        # event-ORDER-exact mode (deterministic only, one-phase)
+        x, meta, dmg = _kernel_call(planes, u, params, mode="exact")
+    elif params.two_phase:
         x, meta, dmg = _twophase_planes(planes, u, params,
                                         _noise_plane(states, params))
     else:
@@ -906,7 +1196,8 @@ def _kernel_call(planes, u, params: SimParams, noise_plane=None,
         out_specs=out_specs,
         out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((G + 1, TILE), jnp.float32)
-                        for _ in range(NC)],
+                        for _ in range(NC +
+                                       (8 if mode == "exact" else 0))],
         interpret=(jax.default_backend() == "cpu"),
     )(M, FI, SP, x, u, meta, dmg, *extra_in)
     if mode == "export":

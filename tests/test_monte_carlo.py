@@ -69,6 +69,27 @@ def test_mc_policy_closed_loop():
     assert res.scores.shape == (4, 2)
 
 
+def test_mc_chunked_matches_single_scan():
+    """Host-chunked rollout (the long-execution watchdog workaround,
+    NOTES.md r3) is bit-identical to the single-scan rollout: the scan
+    carry IS the chunk boundary state.  Uneven final chunk included."""
+    def chase(ps, states):
+        puck = states.x[:, 4:5, 0:2]
+        players = states.x[:, :4, 0:2]
+        d = puck - players
+        u = 5.0 * d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-6)
+        return ps + 1, u
+
+    mc = McParams(num_runs=4, T=2.0, x0_ball=(1.0, 0.3, 0.0, 0.0))
+    res_one = monte_carlo(P, mc, policy=chase,
+                          policy_state=jnp.zeros((4,), jnp.int32))
+    res_chk = monte_carlo(P, mc, policy=chase,
+                          policy_state=jnp.zeros((4,), jnp.int32),
+                          chunk_steps=7)     # 40 steps -> 5 full + 5-step tail
+    for a, b in zip(res_one, res_chk):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_mc_configuration_file(tmp_path):
     mc = McParams(num_runs=2, T=0.5, log_prefix=str(tmp_path / "mc"))
     monte_carlo(P, mc, write_config=True)

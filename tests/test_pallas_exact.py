@@ -1,0 +1,152 @@
+"""Event-ORDER-exact Pallas kernel (engine="pallas_exact") validation.
+
+The throughput kernels (sweep/pallas) resolve every disjoint collision
+event in parallel per loop iteration and re-propagate with feedback-free
+corrections; on sustained pile-ups that leaves a documented ~20-40%
+damage envelope vs the reference-exact event engine even cap-matched
+(PARITY.md, corner family).  The exact mode replicates the reference's
+sequential semantics (/root/reference/src/GameSim.cpp:136-150) inside
+the lane-batched kernel: one globally-earliest event per lane per
+iteration (tie -> highest entity index), stale-slot bookkeeping with the
+invalidate-without-recompute quirk, scored-latch skips consuming counter
+iterations, and sequential feedback re-propagation with per-column
+overlap corrections.
+
+What is (and is not) pinned here:
+* per-STEP semantics vs the event engine are exact -- from any common
+  state, one control step produces identical damage increments and
+  states up to f32 roundoff (the kernel populates the sub-step grid via
+  the affine tables; the event engine runs RK4 -- algebraically equal,
+  ~1e-6 apart in f32);
+* over free-running multi-step GRINDING rollouts individual trajectories
+  bifurcate chaotically from that roundoff, so the multi-step claim is
+  distributional (corner damage means: rel diff 1.8%, z=0.13 at G=512 --
+  vs the sweep engine's systematic 37%, z=-39 at the 10k campaign).
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robogame_tpu.config import SimParams
+from robogame_tpu.physics.engine import step
+from robogame_tpu.physics.pallas_step import step_pallas_batch
+from robogame_tpu.state import initial_state
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _batch_states(params, x0s, seeds):
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds, jnp.uint32))
+    return jax.vmap(lambda k, x0: initial_state(params, x0_puck=x0,
+                                                seed=k))(
+        keys, jnp.asarray(x0s, jnp.float32))
+
+
+def _corner_setup(B, steps, seed=3):
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from dist_equiv import make_sched, make_states
+    pv = SimParams(dtype="float32", engine="event")
+    states = make_states(B, None, pv)
+    us = jnp.asarray(make_sched("corner", B, steps, seed=seed),
+                     jnp.float32)
+    return states, us
+
+
+def test_exact_matches_event_random_play():
+    """Random games: identical scores and damage, states to f32 roundoff
+    (events are sparse, so chains are short and chaos cannot build)."""
+    pe = SimParams(dtype="float32", engine="pallas_exact",
+                   winning_score=3)
+    pv = pe.replace(engine="event")
+    B = 8
+    rng = np.random.default_rng(5)
+    x0s = np.concatenate([
+        np.tile([3.2, 0.1, 9.0, 0.0], (B // 2, 1)),
+        np.tile([0.0, 0.3, 2.0, 1.0], (B // 2, 1)),
+    ])
+    s_ev = s_ex = _batch_states(pv, x0s, np.arange(1, B + 1))
+    for _ in range(20):
+        u = jnp.asarray(rng.uniform(-8, 8, (B, 4, 2)), jnp.float32)
+        s_ev = jax.vmap(lambda s, uu: step(s, uu, pv))(s_ev, u)
+        s_ex = step_pallas_batch(s_ex, u, pe)
+    np.testing.assert_array_equal(np.asarray(s_ev.score),
+                                  np.asarray(s_ex.score))
+    np.testing.assert_allclose(np.asarray(s_ev.damage),
+                               np.asarray(s_ex.damage), atol=1e-4)
+    assert float(jnp.abs(s_ev.x - s_ex.x).max()) < 1e-4
+
+
+def test_exact_per_step_semantics_on_grinding():
+    """The semantic pin: evolve corner pile-ups with the EVENT engine and
+    at every step take ONE exact-kernel step from the same common state.
+    Damage increments and states must match -- this is exactly the
+    property the throughput kernels do NOT have (their parallel
+    resolution diverges by tens of percent on these states within a few
+    steps)."""
+    B, steps = 8, 25
+    pe = SimParams(dtype="float32", engine="pallas_exact")
+    pv = pe.replace(engine="event")
+    sv, us = _corner_setup(B, steps)
+    for k in range(steps):
+        se2 = step_pallas_batch(sv, us[k], pe)
+        sv2 = jax.vmap(lambda s, u: step(s, u, pv))(sv, us[k])
+        np.testing.assert_allclose(np.asarray(se2.damage),
+                                   np.asarray(sv2.damage),
+                                   rtol=2e-3, atol=2e-3)
+        dx = float(jnp.abs(se2.x - sv2.x).max())
+        assert dx < 5e-3, (k, dx)
+        sv = sv2
+
+
+def test_exact_golden_scenario_scores():
+    """Replay the golden kick-goal schedule: scores must match the event
+    engine (itself pinned to the compiled C++ oracle in
+    tests/test_parity.py)."""
+    name = "kick_goal_10s"
+    with open(os.path.join(GOLDEN, f"{name}.json")) as f:
+        meta = json.load(f)
+    sched = np.loadtxt(os.path.join(GOLDEN, f"{name}.sched.txt"))
+    sched = jnp.asarray(sched.reshape(-1, 1, 4, 2), jnp.float32)
+    pe = SimParams(dt=meta["dt"], winning_score=100, dtype="float32",
+                   engine="pallas_exact")
+    pv = pe.replace(engine="event")
+    s_ev = s_ex = _batch_states(pv, [meta["x0"]], [0])
+    for k in range(meta["n_steps"]):
+        s_ev = jax.vmap(lambda s, uu: step(s, uu, pv))(s_ev, sched[k])
+        s_ex = step_pallas_batch(s_ex, sched[k], pe)
+    np.testing.assert_array_equal(np.asarray(s_ev.score),
+                                  np.asarray(s_ex.score))
+    assert np.isfinite(np.asarray(s_ex.x)).all()
+
+
+def test_exact_corner_damage_unbiased():
+    """Free-running corner rollouts: trajectories bifurcate chaotically,
+    but the damage MEAN must stay unbiased (the sweep engine fails this
+    with a systematic +37%/z=-39 at campaign scale).  Modest G keeps the
+    suite fast; the bound is set from the measured G=512 figure (1.8%,
+    z=0.13) with slack for sample noise."""
+    B, steps = 192, 30
+    pe = SimParams(dtype="float32", engine="pallas_exact")
+    pv = pe.replace(engine="event")
+    states, us = _corner_setup(B, steps, seed=7)
+    se = sv = states
+    for k in range(steps):
+        se = step_pallas_batch(se, us[k], pe)
+        sv = jax.vmap(lambda s, u: step(s, u, pv))(sv, us[k])
+    de = np.asarray(se.damage).sum(axis=(1, 2))
+    dv = np.asarray(sv.damage).sum(axis=(1, 2))
+    z = (de.mean() - dv.mean()) / np.sqrt(de.var() / B + dv.var() / B
+                                          + 1e-12)
+    assert abs(z) < 3.0, (de.mean(), dv.mean(), z)
+
+
+def test_exact_rejects_stochastic():
+    import pytest
+    with pytest.raises(ValueError):
+        SimParams(engine="pallas_exact", stochastic=True)

@@ -82,7 +82,7 @@ def rollout(engine, states, sched, params_base, sweep_iters=None,
     @jax.jit
     def run(s, u):
         def body(s, uk):
-            if engine == "pallas":
+            if engine.startswith("pallas"):
                 return step_pallas_batch(s, uk, params), None
             return jax.vmap(lambda st, uu: step(st, uu, params))(s, uk), None
         f, _ = lax.scan(body, s, u)
