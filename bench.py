@@ -107,9 +107,9 @@ def make_run(engine: str, b: int, n_steps: int, stochastic: bool = False):
                        noise=1.0 if stochastic else 0.0,
                        # two-phase compact-and-resume event loop: ~3.7x
                        # on this workload, outcome-identical (see
-                       # physics/pallas_step._twophase_planes and
-                       # tests/test_pallas.py::test_twophase_*)
-                       two_phase=(engine == "pallas"),
+                       # physics/pallas_step._twophase_planes[_exact] and
+                       # tests/test_pallas{,_exact}.py::test_*twophase*)
+                       two_phase=engine.startswith("pallas"),
                        phase1_iters=1, compact_frac=4)
 
     @jax.jit

@@ -108,6 +108,33 @@ def _make_team(team: str, params, mpc, strat, dtype):
             ts_a, u_a = team_step(ts_a, s.x, -1, params, mpc, strat)
             ts_b, u_b = team_step(ts_b, s.x, 1, params, mpc, strat)
             return (ts_a, ts_b), jnp.concatenate([u_a, u_b], axis=0)
+    elif team == "classical":
+        # the flagship run_sim.py entry point: classical skills + the
+        # centralized CBF safety filter (VERDICT r2 #8 latency row)
+        from robogame_tpu.agents.classical import (initial_team_state,
+                                                   team_policy)
+        from robogame_tpu.config import CbfParams
+        from robogame_tpu.control.cbf import safe_control
+        cbf = CbfParams()
+
+        def init():
+            return (initial_team_state(dtype), initial_team_state(dtype))
+
+        def controls(carry, s):
+            ts_a, ts_b = carry
+            ts_a, u_a = team_policy(ts_a, s.x, -1, params, strat)
+            ts_b, u_b = team_policy(ts_b, s.x, 1, params, strat)
+            u = jnp.concatenate([u_a, u_b], axis=0)
+            u = safe_control(u, s.x[:4, 0:2], s.x[:4, 2:4], params,
+                             cbf).u
+            return (ts_a, ts_b), u
+    elif team == "physics":
+        # physics-only single-game step (the pallas kernel's latency row)
+        def init():
+            return jnp.zeros((), dtype)
+
+        def controls(carry, s):
+            return carry, jnp.zeros((4, 2), dtype)
     else:
         raise ValueError(team)
     return init, controls
@@ -261,7 +288,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="throughput",
                     choices=["throughput", "closed-loop", "latency"])
-    ap.add_argument("--team", default="dmpc", choices=["cmpc", "dmpc"])
+    ap.add_argument("--team", default="dmpc",
+                choices=["cmpc", "dmpc", "classical", "physics"],
+                help="classical/physics: latency mode only "
+                     "(run_sim.py flagship + kernel rows)")
     ap.add_argument("--batch", type=int, default=512,
                     help="solver instances / games")
     ap.add_argument("--steps", type=int, default=200,
@@ -273,6 +303,10 @@ def main():
                          "config), production MpcParams default otherwise")
     ap.add_argument("--sqp-iters", type=int, default=None)
     ap.add_argument("--qp-iters", type=int, default=None)
+    ap.add_argument("--engine", default="sweep",
+                    choices=["event", "sweep", "pallas",
+                             "pallas_exact"],
+                    help="physics engine for the fused step")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--xla", action="store_true",
                     help="force the vmapped XLA solver path (default: "
@@ -294,7 +328,8 @@ def main():
                                                   mpc.sqp_iters,
                                                   mpc.qp_iters)
 
-    params = SimParams(dtype="float32", engine="sweep", winning_score=100)
+    params = SimParams(dtype="float32", engine=args.engine,
+                       winning_score=100)
     strat = StrategyParams()
 
     if args.mode == "throughput":

@@ -105,9 +105,15 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
     loop: each lane resolves its single globally-earliest event per
     iteration with sequential feedback re-propagation -- the reference's
     GameSim::updateSim semantics, /root/reference/src/GameSim.cpp:136-150
-    -- instead of the throughput mode's parallel disjoint resolution).
-    See step_pallas_batch / _twophase_planes."""
-    stochastic = params.stochastic and mode not in ("resume", "exact")
+    -- instead of the throughput mode's parallel disjoint resolution),
+    'exact_export'/'exact_resume' (the exact loop's two-phase
+    compact-and-resume variants; the event-loop state round-trips through
+    the 48-row carry INCLUDING the slot lists, so stale-slot semantics
+    survive compaction).  See step_pallas_batch / _twophase_planes."""
+    stochastic = params.stochastic and mode in ("full", "export")
+    is_resume = mode in ("resume", "exact_resume")
+    is_export = mode in ("export", "exact_export")
+    is_exact = mode.startswith("exact")
     G = params.grid_points
     dt = params.dt
     dtcol = params.dt_col
@@ -119,11 +125,14 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
     masses = params.masses
     taus = params.taus
     drags = params.drags
-    if mode == "exact":
-        # mirror engine.py's loop budget: counter starts at 1 and the
-        # loop runs while counter < collision_counter_lim
-        # (/root/reference/include/GameSim.h:7, GameSim.cpp:136)
-        iters = cap if cap is not None else params.collision_counter_lim
+    if is_exact:
+        # mirror engine.py's loop budget: the reference counter starts at
+        # 1 and the loop runs while counter < collision_counter_lim, so
+        # at most lim-1 EVENTS resolve per lane per control step
+        # (/root/reference/include/GameSim.h:7, GameSim.cpp:136).  `cap`
+        # (two-phase) is given directly in events.
+        iters = (cap if cap is not None
+                 else params.collision_counter_lim - 1)
     else:
         iters = cap if cap is not None else params.sweep_iters
     E = 5
@@ -138,12 +147,12 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
         #       [gridout_ref, carryout_ref (export)], gc...
         rest = list(rest)
         noise_ref = rest.pop(0) if stochastic else None
-        if mode == "resume":
+        if is_resume:
             gridin_ref = rest.pop(0)
             carryin_ref = rest.pop(0)
         xout_ref = rest.pop(0)
         aux_ref = rest.pop(0)
-        if mode == "export":
+        if is_export:
             gridout_ref = rest.pop(0)
             carryout_ref = rest.pop(0)
         gc = rest[:NC]
@@ -157,7 +166,7 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
         undec = ((meta_ref[0] < winning_score) &
                  (meta_ref[1] < winning_score))                 # (TILE,)
         # gc: NC scratch buffers, each (G+1, TILE) -- grid component planes
-        if mode == "resume":
+        if is_resume:
             for c in range(NC):
                 gc[c][:] = gridin_ref[c]
         else:
@@ -853,22 +862,45 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
                     jnp.stack(sv2l), scored2, incA2, incB2,
                     jnp.stack(dmg_rows), actv2, it + 1)
 
-        if mode == "exact":
-            base0 = jnp.ones((E, TILE), jnp.int32)
-            scored0 = jnp.zeros((TILE,), jnp.float32)
-            t0l, j0l, c0l, v0l = detect([base0[e] for e in range(E)])
-            init = (jnp.stack(t0l), jnp.stack(j0l), jnp.stack(c0l),
-                    jnp.stack([jnp.where(v0l[a], 1.0, 0.0)
-                               for a in range(E)]),
-                    scored0, jnp.zeros((TILE,), jnp.float32),
-                    jnp.zeros((TILE,), jnp.float32),
-                    jnp.zeros((16, TILE), jnp.float32),
-                    jnp.zeros((TILE,), jnp.float32),
-                    jnp.asarray(1, jnp.int32))
+        if is_exact:
+            if mode == "exact_resume":
+                # slots + carry imported verbatim: stale-slot semantics
+                # survive compaction (rows: 0-4 st, 5-9 sj, 10-14 sc,
+                # 15-19 sv, 20 scored, 21 incA, 22 incB, 23-38 dmg,
+                # 39 actv)
+                init = (carryin_ref[0:5],
+                        carryin_ref[5:10].astype(jnp.int32),
+                        carryin_ref[10:15].astype(jnp.int32),
+                        carryin_ref[15:20],
+                        carryin_ref[20], carryin_ref[21],
+                        carryin_ref[22],
+                        carryin_ref[23:39],
+                        carryin_ref[39],
+                        jnp.asarray(0, jnp.int32))
+            else:
+                base0 = jnp.ones((E, TILE), jnp.int32)
+                t0l, j0l, c0l, v0l = detect([base0[e] for e in range(E)])
+                init = (jnp.stack(t0l), jnp.stack(j0l), jnp.stack(c0l),
+                        jnp.stack([jnp.where(v0l[a], 1.0, 0.0)
+                                   for a in range(E)]),
+                        jnp.zeros((TILE,), jnp.float32),
+                        jnp.zeros((TILE,), jnp.float32),
+                        jnp.zeros((TILE,), jnp.float32),
+                        jnp.zeros((16, TILE), jnp.float32),
+                        jnp.zeros((TILE,), jnp.float32),
+                        jnp.asarray(0, jnp.int32))
             out = jax.lax.while_loop(cond_exact, body_exact, init)
-            (_, _, _, sv_f, scored_f, incA, incB, dmg, actv, it_f) = out
-            base_f = base0
-            it_ran = it_f - 1
+            (st_f, sj_f, sc_f, sv_f, scored_f, incA, incB, dmg, actv,
+             it_ran) = out
+            if is_export:
+                for c in range(NC):
+                    gridout_ref[c] = gc[c][:]
+                carryout_ref[:] = jnp.concatenate(
+                    [st_f, sj_f.astype(jnp.float32),
+                     sc_f.astype(jnp.float32), sv_f,
+                     scored_f[None], incA[None], incB[None], dmg,
+                     actv[None],
+                     jnp.zeros((8, TILE), jnp.float32)], axis=0)
         else:
             if mode == "resume":
                 base0 = jnp.stack([carryin_ref[e].astype(jnp.int32)
@@ -948,8 +980,11 @@ def step_pallas_batch(states: GameState, controls: jax.Array,
     planes, new_keys = _to_planes(states, params)
     u = _u_plane(controls, B)
     if params.engine == "pallas_exact":
-        # event-ORDER-exact mode (deterministic only, one-phase)
-        x, meta, dmg = _kernel_call(planes, u, params, mode="exact")
+        # event-ORDER-exact mode (deterministic only)
+        if params.two_phase:
+            x, meta, dmg = _twophase_planes_exact(planes, u, params)
+        else:
+            x, meta, dmg = _kernel_call(planes, u, params, mode="exact")
     elif params.two_phase:
         x, meta, dmg = _twophase_planes(planes, u, params,
                                         _noise_plane(states, params))
@@ -1012,6 +1047,49 @@ def _twophase_planes(planes, u, params: SimParams, noise_plane=None):
         # genuine full-depth results
         return _kernel_call(planes, u, params, mode="resume",
                             cap=params.sweep_iters - p1,
+                            grid_in=grid, carry_in=carry)
+
+    n_pend = jnp.sum(pending > 0.5)
+    return lax.cond(n_pend > K, _full_resume, lambda _: merged, None)
+
+
+def _twophase_planes_exact(planes, u, params: SimParams):
+    """Two-phase compact-and-resume for the event-ORDER-exact loop.
+
+    Same shape as :func:`_twophase_planes` -- phase 1 caps every lane at
+    ``phase1_iters`` EVENTS, pending games (any valid slot left) are
+    compacted into B/compact_frac lanes and finished at the remaining
+    event budget, results scattered back, with the full-batch-resume
+    overflow guard.  The event-loop state that round-trips through the
+    export/import carry INCLUDES the per-entity slot lists, so the
+    reference's stale-slot semantics survive compaction and the result
+    is exactly one-phase-equal at every pending count
+    (tests/test_pallas_exact.py::test_exact_twophase_bitwise)."""
+    x_in, meta_in, dmg_in = planes
+    Bp = x_in.shape[1]
+    p1 = params.phase1_iters
+    ev_total = params.collision_counter_lim - 1
+    (x1, meta1, dmg1), grid, carry = _kernel_call(
+        planes, u, params, mode="exact_export", cap=min(p1, ev_total))
+    if p1 >= ev_total:
+        return (x1, meta1, dmg1)     # phase 1 already covers the budget
+    K = min(Bp, max(TILE,
+                    (Bp // params.compact_frac + TILE - 1) // TILE * TILE))
+    pending = meta1[5]
+    idx = jnp.argsort(-pending)[:K]
+    gat = lambda a: jnp.take(a, idx, axis=-1)
+    x2, meta2, dmg2 = _kernel_call(
+        (gat(x_in), gat(meta_in), gat(dmg_in)), gat(u), params,
+        mode="exact_resume", cap=ev_total - p1,
+        grid_in=gat(grid), carry_in=gat(carry))
+    merged = (x1.at[:, idx].set(x2), meta1.at[:, idx].set(meta2),
+              dmg1.at[:, idx].set(dmg2))
+    if K >= Bp:
+        return merged
+
+    def _full_resume(_):
+        return _kernel_call(planes, u, params, mode="exact_resume",
+                            cap=ev_total - p1,
                             grid_in=grid, carry_in=carry)
 
     n_pend = jnp.sum(pending > 0.5)
@@ -1161,24 +1239,26 @@ def _kernel_call(planes, u, params: SimParams, noise_plane=None,
     lane = lambda rows: pl.BlockSpec((rows, TILE), lambda i: (0, i),
                                      memory_space=pltpu.VMEM)
 
+    is_exact = mode.startswith("exact")
+    carry_rows = 48 if is_exact else 32
     extra_in = []
     extra_specs = []
-    if params.stochastic and mode != "resume":
+    if params.stochastic and mode in ("full", "export"):
         extra_in = [noise_plane]
         extra_specs = [grid_spec]
-    if mode == "resume":
+    if mode in ("resume", "exact_resume"):
         extra_in += [grid_in, carry_in]
-        extra_specs += [grid_spec, lane(32)]
+        extra_specs += [grid_spec, lane(carry_rows)]
 
     out_specs = (lane(20), lane(24))
     out_shape = [
         jax.ShapeDtypeStruct((20, Bp), jnp.float32),
         jax.ShapeDtypeStruct((24, Bp), jnp.float32),
     ]
-    if mode == "export":
-        out_specs = out_specs + (grid_spec, lane(32))
+    if mode in ("export", "exact_export"):
+        out_specs = out_specs + (grid_spec, lane(carry_rows))
         out_shape += [jax.ShapeDtypeStruct((NC, G + 1, Bp), jnp.float32),
-                      jax.ShapeDtypeStruct((32, Bp), jnp.float32)]
+                      jax.ShapeDtypeStruct((carry_rows, Bp), jnp.float32)]
 
     kernel = _make_kernel(params, mode=mode, cap=cap)
     out = pl.pallas_call(
@@ -1196,11 +1276,10 @@ def _kernel_call(planes, u, params: SimParams, noise_plane=None,
         out_specs=out_specs,
         out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((G + 1, TILE), jnp.float32)
-                        for _ in range(NC +
-                                       (8 if mode == "exact" else 0))],
+                        for _ in range(NC + (8 if is_exact else 0))],
         interpret=(jax.default_backend() == "cpu"),
     )(M, FI, SP, x, u, meta, dmg, *extra_in)
-    if mode == "export":
+    if mode in ("export", "exact_export"):
         xout, aux, grid_out, carry_out = out
         return (xout, aux[0:8], aux[8:24]), grid_out, carry_out
     xout, aux = out

@@ -150,3 +150,33 @@ def test_exact_rejects_stochastic():
     import pytest
     with pytest.raises(ValueError):
         SimParams(engine="pallas_exact", stochastic=True)
+
+
+def test_exact_twophase_bitwise():
+    """Two-phase compact-and-resume on the exact loop is BITWISE equal to
+    one-phase: the export/import carry round-trips the full event-loop
+    state including the per-entity slot lists (stale-slot semantics).
+    Corner grinding makes every game chain far past phase1_iters, and
+    B=128 < compact budget forces the full-coverage path; a second case
+    with B=256 and compact_frac=2 exercises the gather/scatter path."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from dist_equiv import make_sched, make_states
+    pv = SimParams(dtype="float32", engine="event")
+    # (B, compact_frac, family): corner/128 covers whole batch (K==Bp),
+    # corner/256 overflows the budget (full-resume guard), uniform/256
+    # takes the normal gather/compact/scatter path (few pending games)
+    for B, frac, family in ((128, 4, "corner"), (256, 2, "corner"),
+                            (256, 2, "uniform")):
+        p1 = SimParams(dtype="float32", engine="pallas_exact",
+                       two_phase=False)
+        p2 = p1.replace(two_phase=True, phase1_iters=1, compact_frac=frac)
+        states = make_states(B, None, pv)
+        us = jnp.asarray(make_sched(family, B, 6, seed=5), jnp.float32)
+        s1 = s2 = states
+        for k in range(6):
+            s1 = step_pallas_batch(s1, us[k], p1)
+            s2 = step_pallas_batch(s2, us[k], p2)
+        for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -66,7 +66,12 @@ def make_sched(family, G, n_steps, seed=0):
 
 
 def rollout(engine, states, sched, params_base, sweep_iters=None,
-            stochastic=False):
+            stochastic=False, block=0):
+    """``block`` > 0 splits the game batch into host-looped sub-batches of
+    that size, one XLA execution each -- required at campaign scale: a
+    single execution running past ~60-90 s wall crashes the tunneled TPU
+    worker (NOTES.md round-3 watchdog minimization).  Identical results
+    (games are independent)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -88,9 +93,26 @@ def rollout(engine, states, sched, params_base, sweep_iters=None,
         f, _ = lax.scan(body, s, u)
         return f
 
+    G = states.score.shape[0]
+    if block and engine == "event":
+        # the event engine's lane-divergent while_loops run ~1000x slower
+        # than the kernels on TPU; smaller blocks keep each execution
+        # under the ~60-90 s worker watchdog
+        block = max(128, block // 4)
+    if not block or block >= G:
+        t0 = time.time()
+        f = run(states, jnp.asarray(sched))
+        out = jax.tree.map(np.asarray, f)
+        return out, time.time() - t0
+
     t0 = time.time()
-    f = run(states, jnp.asarray(sched))
-    out = jax.tree.map(np.asarray, f)
+    outs = []
+    for lo in range(0, G, block):
+        hi = min(lo + block, G)
+        s_blk = jax.tree.map(lambda a: a[lo:hi], states)
+        f = run(s_blk, jnp.asarray(sched[:, lo:hi]))
+        outs.append(jax.tree.map(np.asarray, f))
+    out = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
     return out, time.time() - t0
 
 
@@ -146,6 +168,12 @@ def main():
                     help="run on the default (TPU) platform incl. pallas")
     ap.add_argument("--families", default="uniform,corner,squeeze,noise",
                     help="comma-separated subset (campaign resume)")
+    ap.add_argument("--block", type=int, default=2000,
+                    help="games per XLA execution (watchdog-safe host "
+                         "blocking; 0 = single execution)")
+    ap.add_argument("--json", default=None,
+                    help="write all comparison records here (the committed "
+                         "campaign artifact)")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -156,8 +184,15 @@ def main():
 
     params = SimParams(dtype="float32")
     G, n = args.games, args.steps
-    print(f"# dist_equiv: G={G} steps={n} platform="
+    blk = args.block
+    print(f"# dist_equiv: G={G} steps={n} block={blk} platform="
           f"{jax.devices()[0].platform}", flush=True)
+
+    records = []
+
+    def rec(r):
+        records.append(r)
+        return r
 
     wanted = set(args.families.split(","))
     for family in ("uniform", "corner", "squeeze"):
@@ -165,32 +200,50 @@ def main():
             continue
         states = make_states(G, None, params)
         sched = make_sched(family, G, n, seed=hash(family) % 2**31)
-        f_ev, t_ev = rollout("event", states, sched, params)
-        f_sw, t_sw = rollout("sweep", states, sched, params)
+        f_ev, t_ev = rollout("event", states, sched, params, block=blk)
+        f_sw, t_sw = rollout("sweep", states, sched, params, block=blk)
         print(f"# {family}: event {G*n/t_ev:.0f} steps/s, "
               f"sweep {G*n/t_sw:.0f} steps/s", flush=True)
         # default sweep_iters is the reference's 50-event cap
-        compare(f_ev, f_sw, f"{family}: sweep50-vs-event50")
+        rec(compare(f_ev, f_sw, f"{family}: sweep50-vs-event50"))
         # cap-matched comparison at the documented cap-12 speed mode:
         # the residual (non-cap) semantic gap (ADVICE r2: both engines
         # pinned to 12 explicitly so the pair stays cap-matched)
-        f_s12, _ = rollout("sweep", states, sched, params, sweep_iters=12)
+        f_s12, _ = rollout("sweep", states, sched, params, sweep_iters=12,
+                           block=blk)
         f_e12, _ = rollout("event", states, sched,
-                           params.replace(collision_counter_lim=12))
-        compare(f_e12, f_s12, f"{family}: sweep12-vs-event12")
+                           params.replace(collision_counter_lim=12),
+                           block=blk)
+        rec(compare(f_e12, f_s12, f"{family}: sweep12-vs-event12"))
         if args.tpu:
-            f_pl, _ = rollout("pallas", states, sched, params)
-            compare(f_sw, f_pl, f"{family}: pallas-vs-sweep")
+            f_pl, _ = rollout("pallas", states, sched, params, block=blk)
+            rec(compare(f_sw, f_pl, f"{family}: pallas-vs-sweep"))
+            # the event-ORDER-exact kernel vs the event engine: the
+            # strongest fast-engine parity claim (same event semantics;
+            # residual differences are populate-roundoff chaos only)
+            f_px, t_px = rollout("pallas_exact", states, sched, params,
+                                 block=blk)
+            print(f"# {family}: pallas_exact {G*n/t_px:.0f} steps/s",
+                  flush=True)
+            rec(compare(f_ev, f_px, f"{family}: exact-vs-event50"))
 
     # stochastic variant: distributional only (noise models are
     # structurally different draws; see physics/sweep.py docstring)
-    if "noise" not in wanted:
-        return
-    states = make_states(G, None, params)
-    sched = make_sched("uniform", G, n, seed=7)
-    f_ev, _ = rollout("event", states, sched, params, stochastic=True)
-    f_sw, _ = rollout("sweep", states, sched, params, stochastic=True)
-    compare(f_ev, f_sw, "uniform+noise1.0: sweep-vs-event (distributional)")
+    if "noise" in wanted:
+        states = make_states(G, None, params)
+        sched = make_sched("uniform", G, n, seed=7)
+        f_ev, _ = rollout("event", states, sched, params, stochastic=True,
+                          block=blk)
+        f_sw, _ = rollout("sweep", states, sched, params, stochastic=True,
+                          block=blk)
+        rec(compare(f_ev, f_sw,
+                    "uniform+noise1.0: sweep-vs-event (distributional)"))
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(dict(games=G, steps=n, block=blk,
+                           records=records), f, indent=1)
+        print(f"# wrote {args.json}", flush=True)
 
 
 if __name__ == "__main__":
