@@ -72,10 +72,17 @@ def test_pallas_scripted_scenario_scores():
     assert np.isfinite(np.asarray(s_pl.x)).all()
 
 
-def test_pallas_stochastic_variance_matches_sweep():
-    """Noise plane path: velocity variance agrees with the sweep engine
-    (same statistical model, different PRNG streams)."""
-    B, n = 128, 3
+def test_pallas_stochastic_variance_matches_analytic():
+    """Noise plane path pinned to the ANALYTIC discrete noise model, not
+    just engine-vs-engine slack (VERDICT r2 weak #6).  With zero input
+    and no collisions the player velocity covariance after m sub-steps
+    is exactly  V_m = sum_j F^j C F^j^T  (C = w^2 L L^T, the per-substep
+    stage-noise covariance, physics/sweep._substep_affine_np).  At
+    B=512 x 4 players x 2 axes = 4096 samples the sample std carries
+    ~1.1% sampling error, so the 6% band is a >5-sigma gate on the noise
+    model of BOTH fast engines."""
+    from robogame_tpu.physics.sweep import _substep_affine_np
+    B, n = 512, 8
     params = SimParams(dtype="float32", engine="sweep", stochastic=True,
                        noise=0.8)
     s_pl = _batch_states(params, np.zeros((B, 4)), np.arange(1, B + 1))
@@ -84,10 +91,18 @@ def test_pallas_stochastic_variance_matches_sweep():
     for _ in range(n):
         s_pl = step_pallas_batch(s_pl, u, params)
         s_sw = jax.vmap(lambda s, uu: step_sweep(s, uu, params))(s_sw, u)
-    v_pl = np.asarray(s_pl.x)[:, :4, 2:4]
-    v_sw = np.asarray(s_sw.x)[:, :4, 2:4]
-    assert v_pl.std() > 0
-    assert abs(v_pl.std() - v_sw.std()) / v_sw.std() < 0.25
+
+    F, _, L = _substep_affine_np(params)
+    C = (params.noise ** 2) * (L @ L.T)
+    V = np.zeros((4, 4))
+    for _ in range(n * params.grid_points):
+        V = F[0] @ V @ F[0].T + C
+    sig_v = np.sqrt(V[2, 2])          # per-axis velocity std (analytic)
+
+    for name, s in (("pallas", s_pl), ("sweep", s_sw)):
+        v = np.asarray(s.x)[:, :4, 2:4]
+        rel = abs(v.std() - sig_v) / sig_v
+        assert rel < 0.06, (name, v.std(), sig_v, rel)
 
 
 def test_pallas_pads_odd_batch():

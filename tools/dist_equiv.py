@@ -96,9 +96,10 @@ def rollout(engine, states, sched, params_base, sweep_iters=None,
     G = states.score.shape[0]
     if block and engine == "event":
         # the event engine's lane-divergent while_loops run ~1000x slower
-        # than the kernels on TPU; smaller blocks keep each execution
-        # under the ~60-90 s worker watchdog
-        block = max(128, block // 4)
+        # than the kernels on TPU (measured 750 steps/s at B=128, i.e.
+        # ~17 s per 128-game/100-step block); smaller blocks keep each
+        # execution well under the ~60-90 s worker watchdog
+        block = max(128, block // 16)
     if not block or block >= G:
         t0 = time.time()
         f = run(states, jnp.asarray(sched))
@@ -174,6 +175,10 @@ def main():
     ap.add_argument("--json", default=None,
                     help="write all comparison records here (the committed "
                          "campaign artifact)")
+    ap.add_argument("--skip-cap12", action="store_true",
+                    help="skip the cap-12 pairs (engine semantics "
+                         "unchanged since the r2 campaign; the event@12 "
+                         "rollouts dominate TPU wall time)")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -206,15 +211,16 @@ def main():
               f"sweep {G*n/t_sw:.0f} steps/s", flush=True)
         # default sweep_iters is the reference's 50-event cap
         rec(compare(f_ev, f_sw, f"{family}: sweep50-vs-event50"))
-        # cap-matched comparison at the documented cap-12 speed mode:
-        # the residual (non-cap) semantic gap (ADVICE r2: both engines
-        # pinned to 12 explicitly so the pair stays cap-matched)
-        f_s12, _ = rollout("sweep", states, sched, params, sweep_iters=12,
-                           block=blk)
-        f_e12, _ = rollout("event", states, sched,
-                           params.replace(collision_counter_lim=12),
-                           block=blk)
-        rec(compare(f_e12, f_s12, f"{family}: sweep12-vs-event12"))
+        if not args.skip_cap12:
+            # cap-matched comparison at the documented cap-12 speed mode:
+            # the residual (non-cap) semantic gap (ADVICE r2: both engines
+            # pinned to 12 explicitly so the pair stays cap-matched)
+            f_s12, _ = rollout("sweep", states, sched, params,
+                               sweep_iters=12, block=blk)
+            f_e12, _ = rollout("event", states, sched,
+                               params.replace(collision_counter_lim=12),
+                               block=blk)
+            rec(compare(f_e12, f_s12, f"{family}: sweep12-vs-event12"))
         if args.tpu:
             f_pl, _ = rollout("pallas", states, sched, params, block=blk)
             rec(compare(f_sw, f_pl, f"{family}: pallas-vs-sweep"))
