@@ -237,7 +237,8 @@ def closed_loop(args, params, mpc, strat):
           f"compile+first {t_first:.1f}s, steady {wall:.2f}s -> "
           f"{B / wall:.2f} games/s, {B * n_steps / wall:,.0f} "
           f"control-steps/s, total goals "
-          f"{int(np.asarray(final.score).sum())}")
+          f"{int(np.asarray(final.score).sum())}, damage mean "
+          f"{float(np.asarray(final.damage).sum((1, 2)).mean()):.2f}")
 
 
 def latency(args, params, mpc, strat):

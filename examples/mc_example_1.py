@@ -75,9 +75,12 @@ def main():
 
     policy = make_policy(params, strat, cbf, not args.no_cbf)
     t0 = time.time()
+    # chunk_steps: the classical-policy rollout at large B would exceed
+    # the tunneled worker's per-execution wall budget in one scan
+    # (NOTES.md r3); chunking is bit-identical
     res, recs = monte_carlo(params, mc, policy=policy,
                             policy_state=mk(params.jdtype), log=True,
-                            write_config=True)
+                            write_config=True, chunk_steps=100)
     stats = aggregate(res)
     wall = time.time() - t0
     n_steps = int(np.ceil(args.T / params.dt))

@@ -117,6 +117,27 @@ def rollout(engine, states, sched, params_base, sweep_iters=None,
     return out, time.time() - t0
 
 
+class _Final:
+    """Final-state record (what compare() needs) -- detached from jax so
+    reference rollouts can be dumped on one platform (CPU, no execution
+    watchdog) and compared against fast-engine rollouts on another
+    (TPU).  f32 CPU-vs-TPU arithmetic differs at roundoff; on chaotic
+    families that adds the same per-game decorrelation the engines
+    already have, and all campaign metrics are distributional."""
+
+    def __init__(self, x, score, damage):
+        self.x, self.score, self.damage = x, score, damage
+
+
+def dump_final(path, f):
+    np.savez(path, x=f.x, score=f.score, damage=f.damage)
+
+
+def load_final(path):
+    z = np.load(path)
+    return _Final(z["x"], z["score"], z["damage"])
+
+
 def ks_stat(a, b):
     """Two-sample Kolmogorov-Smirnov statistic."""
     a, b = np.sort(a), np.sort(b)
@@ -179,6 +200,14 @@ def main():
                     help="skip the cap-12 pairs (engine semantics "
                          "unchanged since the r2 campaign; the event@12 "
                          "rollouts dominate TPU wall time)")
+    ap.add_argument("--dump-refs", default=None, metavar="PREFIX",
+                    help="roll out ONLY the event-engine references and "
+                         "save final states to PREFIX_<family>.npz (run "
+                         "this pass on CPU -- no execution watchdog)")
+    ap.add_argument("--load-refs", default=None, metavar="PREFIX",
+                    help="load event references dumped by --dump-refs "
+                         "instead of rolling them out (fast-engine pass "
+                         "on TPU)")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -205,10 +234,18 @@ def main():
             continue
         states = make_states(G, None, params)
         sched = make_sched(family, G, n, seed=hash(family) % 2**31)
-        f_ev, t_ev = rollout("event", states, sched, params, block=blk)
+        if args.load_refs:
+            f_ev = load_final(f"{args.load_refs}_{family}.npz")
+        else:
+            f_ev, t_ev = rollout("event", states, sched, params,
+                                 block=blk)
+            print(f"# {family}: event {G*n/t_ev:.0f} steps/s", flush=True)
+        if args.dump_refs:
+            dump_final(f"{args.dump_refs}_{family}.npz", f_ev)
+            print(f"# dumped {args.dump_refs}_{family}.npz", flush=True)
+            continue
         f_sw, t_sw = rollout("sweep", states, sched, params, block=blk)
-        print(f"# {family}: event {G*n/t_ev:.0f} steps/s, "
-              f"sweep {G*n/t_sw:.0f} steps/s", flush=True)
+        print(f"# {family}: sweep {G*n/t_sw:.0f} steps/s", flush=True)
         # default sweep_iters is the reference's 50-event cap
         rec(compare(f_ev, f_sw, f"{family}: sweep50-vs-event50"))
         if not args.skip_cap12:
@@ -238,12 +275,20 @@ def main():
     if "noise" in wanted:
         states = make_states(G, None, params)
         sched = make_sched("uniform", G, n, seed=7)
-        f_ev, _ = rollout("event", states, sched, params, stochastic=True,
-                          block=blk)
-        f_sw, _ = rollout("sweep", states, sched, params, stochastic=True,
-                          block=blk)
-        rec(compare(f_ev, f_sw,
-                    "uniform+noise1.0: sweep-vs-event (distributional)"))
+        if args.load_refs:
+            f_ev = load_final(f"{args.load_refs}_noise.npz")
+        else:
+            f_ev, _ = rollout("event", states, sched, params,
+                              stochastic=True, block=blk)
+        if args.dump_refs:
+            dump_final(f"{args.dump_refs}_noise.npz", f_ev)
+            print(f"# dumped {args.dump_refs}_noise.npz", flush=True)
+        else:
+            f_sw, _ = rollout("sweep", states, sched, params,
+                              stochastic=True, block=blk)
+            rec(compare(
+                f_ev, f_sw,
+                "uniform+noise1.0: sweep-vs-event (distributional)"))
 
     if args.json:
         with open(args.json, "w") as f:
