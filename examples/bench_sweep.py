@@ -28,15 +28,17 @@ def main():
     n_steps = 40 if quick else N_STEPS
     sizes = [256, 2048] if quick else [256, 2048, 8192]
     results = []
-    for b in sizes:
-        _, run = make_run("pallas", b, n_steps)
-        states, u_base = make_inputs(b, n_steps)
-        wall = time_run(run, states, u_base)
-        sps = b * n_steps / wall
-        results.append(dict(B=b, engine="pallas", noise=0.0,
-                            steps_per_sec=round(sps, 1),
-                            vs_ref=round(sps / REFERENCE_STEPS_PER_SEC, 2)))
-        print(json.dumps(results[-1]), flush=True)
+    for engine in ("pallas_exact", "pallas"):
+        for b in sizes:
+            _, run = make_run(engine, b, n_steps)
+            states, u_base = make_inputs(b, n_steps)
+            wall = time_run(run, states, u_base)
+            sps = b * n_steps / wall
+            results.append(dict(
+                B=b, engine=engine, noise=0.0,
+                steps_per_sec=round(sps, 1),
+                vs_ref=round(sps / REFERENCE_STEPS_PER_SEC, 2)))
+            print(json.dumps(results[-1]), flush=True)
 
     # stochastic variant at the headline batch size
     b = 2048
