@@ -175,6 +175,7 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
                 axis=0)
             for c in range(NC):
                 val = jnp.dot(M_ref[c], z0,
+                              precision=lax.Precision.HIGHEST,
                               preferred_element_type=jnp.float32)
                 if stochastic:
                     val = val + noise_ref[c]
@@ -525,8 +526,10 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
             for e in range(E):
                 boh = jnp.where(kcol == ent_base[e][None, :], 1.0, 0.0)
                 fi = jnp.dot(FI_ref[:], boh,
+                             precision=lax.Precision.HIGHEST,
                              preferred_element_type=jnp.float32)   # (80,T)
                 sp = jnp.dot(SP_ref[:], boh,
+                             precision=lax.Precision.HIGHEST,
                              preferred_element_type=jnp.float32)   # (40,T)
                 xb = [ent_val[e][c] -
                       (sp[e * 8 + c * 2 + 0] * u_ref[e * 2] +
@@ -543,6 +546,7 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
 
             # --- per-component tail matmul + corrections + update --------
             tail = [jnp.dot(M_ref[c], zu,
+                            precision=lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32)
                     for c in range(NC)]                      # (G+1,TILE) x20
             corr = list(tail)

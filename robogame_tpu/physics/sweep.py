@@ -210,8 +210,10 @@ def _update_sweep(state: GameState, controls, params: SimParams) -> GameState:
     key, kpop = jax.random.split(state.key)
 
     # --- populate the grid in closed form -------------------------------
-    grid = (jnp.einsum("keij,ej->kei", Fpow, state.x) +
-            jnp.einsum("keij,ej->kei", Spow, inputs))        # (G+1, 5, 4)
+    grid = (jnp.einsum("keij,ej->kei", Fpow, state.x,
+                       precision=lax.Precision.HIGHEST) +
+            jnp.einsum("keij,ej->kei", Spow, inputs,
+                       precision=lax.Precision.HIGHEST))     # (G+1, 5, 4)
     if params.stochastic:
         grid = grid.at[1:, :4, :].add(
             populate_noise(kpop, params, Fpow, Lnoise))
@@ -336,8 +338,10 @@ def _update_sweep(state: GameState, controls, params: SimParams) -> GameState:
         dtl = jnp.clip(k_idx - ent_base[None, :], 0, G)    # (G, 5)
         Fd = Fpow[dtl, ids[None, :]]                       # (G, 5, 4, 4)
         Sd = Spow[dtl, ids[None, :]]                       # (G, 5, 4, 2)
-        x_tail = (jnp.einsum("keij,ej->kei", Fd, ent_val) +
-                  jnp.einsum("keij,ej->kei", Sd, inputs))  # (G, 5, 4)
+        x_tail = (jnp.einsum("keij,ej->kei", Fd, ent_val,
+                             precision=lax.Precision.HIGHEST) +
+                  jnp.einsum("keij,ej->kei", Sd, inputs,
+                             precision=lax.Precision.HIGHEST))  # (G, 5, 4)
 
         ent_ctype = ctype[slot_of]
         ent_pair = is_pair[slot_of]

@@ -100,6 +100,10 @@ def rollout(engine, states, sched, params_base, sweep_iters=None,
         # ~17 s per 128-game/100-step block); smaller blocks keep each
         # execution well under the ~60-90 s worker watchdog
         block = max(128, block // 16)
+    elif block and engine == "sweep":
+        # the XLA sweep engine is ~300x slower than the kernels; quarter
+        # blocks keep its executions short too
+        block = max(256, block // 4)
     if not block or block >= G:
         t0 = time.time()
         f = run(states, jnp.asarray(sched))
@@ -208,6 +212,11 @@ def main():
                     help="load event references dumped by --dump-refs "
                          "instead of rolling them out (fast-engine pass "
                          "on TPU)")
+    ap.add_argument("--cache", default=None, metavar="PREFIX",
+                    help="cache every fast-engine rollout to "
+                         "PREFIX_<tag>.npz and skip tags already cached "
+                         "-- makes the campaign resumable across the "
+                         "tunneled worker's sporadic crashes")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -228,12 +237,29 @@ def main():
         records.append(r)
         return r
 
+    def roll(engine, states, sched, tag, **kw):
+        if args.cache:
+            p = f"{args.cache}_{tag}.npz"
+            if os.path.exists(p):
+                print(f"# cached: {tag}", flush=True)
+                return load_final(p), float("nan")
+        f, t = rollout(engine, states, sched, params, block=blk, **kw)
+        if args.cache:
+            dump_final(f"{args.cache}_{tag}.npz", f)
+        return f, t
+
     wanted = set(args.families.split(","))
     for family in ("uniform", "corner", "squeeze"):
         if family not in wanted:
             continue
         states = make_states(G, None, params)
-        sched = make_sched(family, G, n, seed=hash(family) % 2**31)
+        # zlib.crc32: DETERMINISTIC per family name.  Python's hash() is
+        # salted per process, which silently broke cross-process
+        # comparisons (the --dump-refs/--load-refs split) by generating
+        # different schedules in each pass.
+        import zlib
+        sched = make_sched(family, G, n,
+                           seed=zlib.crc32(family.encode()) % 2**31)
         if args.load_refs:
             f_ev = load_final(f"{args.load_refs}_{family}.npz")
         else:
@@ -244,7 +270,7 @@ def main():
             dump_final(f"{args.dump_refs}_{family}.npz", f_ev)
             print(f"# dumped {args.dump_refs}_{family}.npz", flush=True)
             continue
-        f_sw, t_sw = rollout("sweep", states, sched, params, block=blk)
+        f_sw, t_sw = roll("sweep", states, sched, f"{family}_sweep50")
         print(f"# {family}: sweep {G*n/t_sw:.0f} steps/s", flush=True)
         # default sweep_iters is the reference's 50-event cap
         rec(compare(f_ev, f_sw, f"{family}: sweep50-vs-event50"))
@@ -259,13 +285,13 @@ def main():
                                block=blk)
             rec(compare(f_e12, f_s12, f"{family}: sweep12-vs-event12"))
         if args.tpu:
-            f_pl, _ = rollout("pallas", states, sched, params, block=blk)
+            f_pl, _ = roll("pallas", states, sched, f"{family}_pallas")
             rec(compare(f_sw, f_pl, f"{family}: pallas-vs-sweep"))
             # the event-ORDER-exact kernel vs the event engine: the
             # strongest fast-engine parity claim (same event semantics;
             # residual differences are populate-roundoff chaos only)
-            f_px, t_px = rollout("pallas_exact", states, sched, params,
-                                 block=blk)
+            f_px, t_px = roll("pallas_exact", states, sched,
+                              f"{family}_exact")
             print(f"# {family}: pallas_exact {G*n/t_px:.0f} steps/s",
                   flush=True)
             rec(compare(f_ev, f_px, f"{family}: exact-vs-event50"))
@@ -284,8 +310,8 @@ def main():
             dump_final(f"{args.dump_refs}_noise.npz", f_ev)
             print(f"# dumped {args.dump_refs}_noise.npz", flush=True)
         else:
-            f_sw, _ = rollout("sweep", states, sched, params,
-                              stochastic=True, block=blk)
+            f_sw, _ = roll("sweep", states, sched, "noise_sweep",
+                           stochastic=True)
             rec(compare(
                 f_ev, f_sw,
                 "uniform+noise1.0: sweep-vs-event (distributional)"))
