@@ -189,6 +189,15 @@ class MpcParams:
                                        # longest, gentlest final-time
                                        # candidate passes and the closed
                                        # loop barely moves)
+    warm_qp_iters: int = 40            # ADMM iterations per SQP iteration
+                                       # AFTER the first in the fused
+                                       # CMPC kernel (ops/sqp_pallas.py):
+                                       # iterations 2.. warm-start from
+                                       # the previous iterate's ADMM
+                                       # state (x, rescaled duals,
+                                       # carried rho), so they need far
+                                       # fewer iterations than the cold
+                                       # first solve (qp_iters)
     t_grid: int = 8                    # candidate final-time grid size
     t_local: int = 4                   # of t_grid, candidates re-centered
                                        # on the previous winner's time

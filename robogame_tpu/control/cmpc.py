@@ -242,14 +242,15 @@ def compute_control_batch(state: CmpcState, x0_p1, x0_p2, xf_p1, xf_p2,
     the joint problem is n = 4N variables, m = 4N + 4N + 2 M N + N
     rows).
 
-    ``use_lanes``: ``"joint"`` routes the QPs through the structured
-    two-agent kernel (ops.qp_pallas.solve_qp_lanes_joint -- per-player
-    column blocks + implicit input-box rows + block-Schur solve, the
-    only lanes kernel whose per-tile working set fits VMEM at the
-    production joint shape n=80); ``True`` uses the dense lanes kernel
-    (small horizons only); ``False`` the vmapped XLA solver.  ``None``
-    auto-selects on TPU: dense lanes if it fits, else the joint kernel
-    if IT fits, else XLA."""
+    ``use_lanes``: ``"fused"`` runs the ENTIRE SQP loop (relinearization
+    + all QP solves, ADMM warm-carried across SQP iterations) inside one
+    Pallas kernel (ops.sqp_pallas.solve_cmpc_sqp_lanes -- the fastest
+    path); ``"joint"`` routes each SQP iteration's QPs through the
+    structured two-agent kernel (ops.qp_pallas.solve_qp_lanes_joint --
+    per-player column blocks + implicit input-box rows + block-Schur
+    solve); ``True`` uses the dense lanes kernel (small horizons only);
+    ``False`` the vmapped XLA solver.  ``None`` auto-selects on TPU:
+    fused if it fits, else dense lanes, else joint, else XLA."""
     dtype = jnp.asarray(x0_p1).dtype
     Bq = x0_p1.shape[0]
     T = mpc.t_grid
@@ -258,8 +259,11 @@ def compute_control_batch(state: CmpcState, x0_p1, x0_p2, xf_p1, xf_p2,
     n_rows = 2 * nU + 2 * N_OBS * N + N
     if use_lanes is None:
         from ..ops.qp_pallas import fits_vmem, fits_vmem_joint
+        from ..ops.sqp_pallas import fits_vmem_cmpc_fused
         if jax.default_backend() != "tpu":
             use_lanes = False
+        elif (2 * N) % 8 == 0 and fits_vmem_cmpc_fused(2 * N, N, N_OBS):
+            use_lanes = "fused"
         elif fits_vmem(nU, n_rows):
             use_lanes = True
         elif fits_vmem_joint(2 * N, 4 * N, N):
@@ -287,7 +291,7 @@ def compute_control_batch(state: CmpcState, x0_p1, x0_p2, xf_p1, xf_p2,
     n_ko = 2 * N_OBS * mpc.N + mpc.N
     big = jnp.full((Bq * T, n_ko), 1e9, dtype)
 
-    if use_lanes == "joint":
+    if use_lanes in ("joint", "fused"):
         # Static variable permutation: the flat U is knot-major
         # interleaved ([u1x,u1y,u2x,u2y] per knot); the structured kernel
         # wants per-player contiguous blocks.  H is EXACTLY block
@@ -317,7 +321,24 @@ def compute_control_batch(state: CmpcState, x0_p1, x0_p2, xf_p1, xf_p2,
         big_ko = jnp.full((Bq * T, 2 * N), 1e9, dtype)
         big_p = jnp.full((Bq * T, N), 1e9, dtype)
 
-    for _ in range(mpc.sqp_iters):
+    if use_lanes == "fused":
+        from ..ops.sqp_pallas import solve_cmpc_sqp_lanes
+        sg_j = jnp.stack([prep.sg1[..., perm1], prep.sg2[..., perm2]],
+                         axis=1)                   # (BqT, 2, N, 2, n1)
+        p0_j = jnp.stack([prep.p0_1, prep.p0_2], axis=1)
+        xy_blocked = lambda a: jnp.swapaxes(
+            a.reshape(-1, N, 2), 1, 2).reshape(-1, 2 * N)
+        loa_j = jnp.stack([xy_blocked(lo_a1), xy_blocked(lo_a2)], axis=1)
+        hia_j = jnp.stack([xy_blocked(hi_a1), xy_blocked(hi_a2)], axis=1)
+        sol = solve_cmpc_sqp_lanes(
+            Hb, g_j, sg_j, p0_j, prep.obs, loa_j, hia_j, lx, ux,
+            U[:, perm_j], N=N, n_obs=N_OBS, n_seg0=4,
+            it0=max(1, mpc.qp_iters // 4), sqp_rest=mpc.sqp_iters - 1,
+            it_rest=mpc.warm_qp_iters,
+            d2=float((2.0 * params.player_radius) ** 2))
+        U, conv = sol.x[:, inv_j].astype(dtype), sol.converged
+
+    for _ in range(mpc.sqp_iters if use_lanes != "fused" else 0):
         if use_lanes == "joint":
             from ..ops.qp_pallas import solve_qp_lanes_joint
             r1, b1, r2, b2, rpr, bpr = jax.vmap(
