@@ -51,6 +51,22 @@ from ..config import PUCK, SimParams
 from ..state import GameState
 from .sweep import _affine_tables_np, _substep_affine_np
 
+
+def _substep_scalars(params: SimParams):
+    """The one-substep RK4 affine map collapsed to 4 scalars per entity.
+
+    The damped-double-integrator F/S (sweep._substep_affine_np) are sparse
+    and x/y-symmetric: F = [[1,0,a,0],[0,1,0,a],[0,0,b,0],[0,0,0,b]],
+    S = [[c,0],[0,c],[d,0],[0,d]].  The exact kernel's sequential feedback
+    loop uses these scalars directly -- one fixed-dtcol propagation is then
+    8 multiply-adds per role instead of a full RK4 evaluation."""
+    F, S, _ = _substep_affine_np(params)
+    a = [float(F[e][0, 2]) for e in range(5)]
+    b = [float(F[e][2, 2]) for e in range(5)]
+    c = [float(S[e][0, 0]) for e in range(5)]
+    d = [float(S[e][2, 0]) for e in range(5)]
+    return a, b, c, d
+
 TILE = 128
 _INF = 1.0e9
 NC = 20      # state components: 5 entities x 4
@@ -136,6 +152,8 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
     else:
         iters = cap if cap is not None else params.sweep_iters
     E = 5
+    if is_exact:
+        sub_a, sub_b, sub_c, sub_d = _substep_scalars(params)
 
     winning_score = float(params.winning_score)
 
@@ -191,23 +209,28 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
         def detect(base):
             """First qualifying collision per entity; base (E,TILE) i32.
             Returns lists (len E) of (TILE,): t, j, ctype, valid."""
+            # hoist the predecessor-column rolls: one roll per component
+            # (20) instead of one per pair-slab operand (~80 + walls)
+            cur = [gc[c][:] for c in range(NC)]
+            prv = [_prev(v) for v in cur]
+            t_m = (kcol_f - 1.0) * dtcol
             # pair candidate times are symmetric -- compute each unordered
             # pair once (10 slabs instead of 20)
             pair_tc = {}
             for i in range(E):
                 for o in range(i + 1, E):
-                    px = gc[i * 4 + 0][:]
-                    py = gc[i * 4 + 1][:]
-                    qx = gc[o * 4 + 0][:]
-                    qy = gc[o * 4 + 1][:]
-                    px_m = _prev(px)
-                    py_m = _prev(py)
-                    vx_m = _prev(gc[i * 4 + 2][:])
-                    vy_m = _prev(gc[i * 4 + 3][:])
-                    qx_m = _prev(qx)
-                    qy_m = _prev(qy)
-                    wx_m = _prev(gc[o * 4 + 2][:])
-                    wy_m = _prev(gc[o * 4 + 3][:])
+                    px = cur[i * 4 + 0]
+                    py = cur[i * 4 + 1]
+                    qx = cur[o * 4 + 0]
+                    qy = cur[o * 4 + 1]
+                    px_m = prv[i * 4 + 0]
+                    py_m = prv[i * 4 + 1]
+                    vx_m = prv[i * 4 + 2]
+                    vy_m = prv[i * 4 + 3]
+                    qx_m = prv[o * 4 + 0]
+                    qy_m = prv[o * 4 + 1]
+                    wx_m = prv[o * 4 + 2]
+                    wy_m = prv[o * 4 + 3]
                     sig = radii[i] + radii[o]
                     dxk = qx - px
                     dyk = qy - py
@@ -224,23 +247,21 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
                     den = jnp.where(dvv == 0, 1.0, dvv)
                     tau = jnp.maximum(
                         0.0, -(b + jnp.sqrt(jnp.maximum(disc, 0.0))) / den)
-                    t_m = (kcol_f - 1.0) * dtcol
                     pair_tc[(i, o)] = jnp.where(ok, t_m + tau, _INF)
 
             t_list, j_list, c_list, v_list = [], [], [], []
             for e in range(E):
-                px = gc[e * 4 + 0][:]
-                py = gc[e * 4 + 1][:]
-                px_m = _prev(px)
-                py_m = _prev(py)
-                vx_m = _prev(gc[e * 4 + 2][:])
-                vy_m = _prev(gc[e * 4 + 3][:])
+                px = cur[e * 4 + 0]
+                py = cur[e * 4 + 1]
+                px_m = prv[e * 4 + 0]
+                py_m = prv[e * 4 + 1]
+                vx_m = prv[e * 4 + 2]
+                vy_m = prv[e * 4 + 3]
                 r = radii[e]
-                t_m = (kcol_f - 1.0) * dtcol
 
-                best_t = jnp.full((G + 1, TILE), _INF, jnp.float32)
+                best_t = None
                 # (ctype, partner) packed into one value: meta = 16c + j+1
-                best_m = jnp.zeros((G + 1, TILE), jnp.float32)
+                best_m = None
 
                 def consider(tc, cid, jid):
                     nonlocal best_t, best_m
@@ -249,19 +270,32 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
                                        best_m)
                     best_t = jnp.where(better, tc, best_t)
 
-                # walls (check order UP, DOWN, RIGHT, LEFT = ctype 0..3)
-                for cid, (pk, pm, vm, sgn, bound) in enumerate([
-                        (py, py_m, vy_m, 1.0, halfy),
-                        (py, py_m, vy_m, -1.0, halfy),
-                        (px, px_m, vx_m, 1.0, halfx),
-                        (px, px_m, vx_m, -1.0, halfx)]):
-                    overlap = sgn * pk + r >= bound
-                    approach = sgn * vm > 0
+                # walls (check order UP, DOWN, RIGHT, LEFT = ctype 0..3).
+                # The two walls of an axis are mutually exclusive (the
+                # approach test selects by velocity sign), so each axis is
+                # ONE fused candidate with a sign-selected ctype -- same
+                # result and tie-break order as four separate checks.  The
+                # y-axis candidate (checked first) seeds best_t/best_m
+                # directly instead of comparing against an INF fill.
+                for cid0, (pk, pm, vm, bound) in enumerate([
+                        (py, py_m, vy_m, halfy),
+                        (px, px_m, vx_m, halfx)]):
+                    toward = jnp.where(vm >= 0, 1.0, -1.0)
+                    overlap = toward * pk + r >= bound
                     den = jnp.where(vm == 0, 1.0, vm)
-                    tau = jnp.maximum(0.0, ((bound - r) * sgn - pm) / den)
-                    tc = jnp.where(overlap & approach & (vm != 0),
-                                   t_m + tau, _INF)
-                    consider(tc, cid, -1)
+                    tau = jnp.maximum(
+                        0.0, ((bound - r) * toward - pm) / den)
+                    tc = jnp.where(overlap & (vm != 0), t_m + tau, _INF)
+                    # ctype: UP/RIGHT when approaching +, DOWN/LEFT when -
+                    cidv = jnp.where(vm >= 0, float(2 * cid0),
+                                     float(2 * cid0 + 1))
+                    if best_t is None:
+                        best_t = tc
+                        best_m = 16.0 * cidv
+                    else:
+                        better = tc < best_t
+                        best_m = jnp.where(better, 16.0 * cidv, best_m)
+                        best_t = jnp.where(better, tc, best_t)
 
                 # partners, ascending entity order
                 for o in range(E):
@@ -681,6 +715,21 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
             tau_i = jnp.where(tau_i > 0, tau_i, 1.0)
             tau_j = jnp.where(tau_j > 0, tau_j, 1.0)
 
+            # role-mixed one-substep affine scalars + control terms for the
+            # feedback loop (see _substep_scalars)
+            fa_i = sum(ihot[e] * sub_a[e] for e in range(E))
+            fb_i = sum(ihot[e] * sub_b[e] for e in range(E))
+            fa_j = sum(jhot[o] * sub_a[o] for o in range(E))
+            fb_j = sum(jhot[o] * sub_b[o] for o in range(E))
+            su_i = (sum(ihot[e] * sub_c[e] for e in range(E)) * u_i[0],
+                    sum(ihot[e] * sub_c[e] for e in range(E)) * u_i[1],
+                    sum(ihot[e] * sub_d[e] for e in range(E)) * u_i[0],
+                    sum(ihot[e] * sub_d[e] for e in range(E)) * u_i[1])
+            su_j = (sum(jhot[o] * sub_c[o] for o in range(E)) * u_j[0],
+                    sum(jhot[o] * sub_c[o] for o in range(E)) * u_j[1],
+                    sum(jhot[o] * sub_d[o] for o in range(E)) * u_j[0],
+                    sum(jhot[o] * sub_d[o] for o in range(E)) * u_j[1])
+
             dt_t = t_pop - km1.astype(jnp.float32) * dtcol
             xi_t = rk4(*xi, *u_i, tau_i, drag_i, dt_t)
             xj_t = rk4(*xj, *u_j, tau_j, drag_j, dt_t)
@@ -784,10 +833,16 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
             # previous column's CORRECTED value.
             def col_body(k, rcarry):
                 ri, rj = rcarry
-                pi = rk4(ri[0], ri[1], ri[2], ri[3], u_i[0], u_i[1],
-                         tau_i, drag_i, dtcol)
-                pj = rk4(rj[0], rj[1], rj[2], rj[3], u_j[0], u_j[1],
-                         tau_j, drag_j, dtcol)
+                # fixed-dtcol RK4 on the LTI dynamics == the sparse affine
+                # map (8 madds/role; identical to rk4() up to f32 op order)
+                pi = (ri[0] + fa_i * ri[2] + su_i[0],
+                      ri[1] + fa_i * ri[3] + su_i[1],
+                      fb_i * ri[2] + su_i[2],
+                      fb_i * ri[3] + su_i[3])
+                pj = (rj[0] + fa_j * rj[2] + su_j[0],
+                      rj[1] + fa_j * rj[3] + su_j[1],
+                      fb_j * rj[2] + su_j[2],
+                      fb_j * rj[3] + su_j[3])
                 # pair overlap correction (buf) between the two
                 dx = pj[0] - pi[0]
                 dy = pj[1] - pi[1]
@@ -815,15 +870,26 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
                             for c in range(4))
                 rj2 = tuple(jnp.where(gate & is_pair, pj_pair[c], rj[c])
                             for c in range(4))
-                rowm = kcol == k
+                # dynamic single-row stores: a full-plane masked select per
+                # slab here cost ~8 x (G+1) rows per column -- the dominant
+                # cost of the feedback loop (measured r4)
                 for c in range(4):
-                    role[c][:] = jnp.where(rowm, ri2[c][None, :],
-                                           role[c][:])
-                    role[4 + c][:] = jnp.where(rowm, rj2[c][None, :],
-                                               role[4 + c][:])
+                    role[c][pl.ds(k, 1), :] = ri2[c][None, :]
+                    role[4 + c][pl.ds(k, 1), :] = rj2[c][None, :]
                 return (ri2, rj2)
 
-            lax.fori_loop(1, G + 1, col_body, (xi_base, xj_base))
+            # manual unroll: fori_loop trip overhead is significant at
+            # these tiny (TILE,) bodies (lax's unroll= breaks Mosaic
+            # lowering, so unroll by hand)
+            _U = 5 if G % 5 == 0 else 1
+
+            def col_chunk(kk, rcarry):
+                k0 = 1 + kk * _U
+                for d in range(_U):
+                    rcarry = col_body(k0 + d, rcarry)
+                return rcarry
+
+            lax.fori_loop(0, G // _U, col_chunk, (xi_base, xj_base))
 
             # --- scatter role slabs into the grid planes -----------------
             rowm = kcol >= base_new[None, :]
