@@ -37,7 +37,10 @@ import time
 
 REFERENCE_STEPS_PER_SEC = 18_000.0  # compiled C++ reference, 1 CPU core
 
-B = 2048
+B = 8192               # per-execution dispatch overhead (~30 ms through the
+                       # tunnel, NOTES.md r4) and the two-phase compaction both
+                       # amortize with batch; 8192 is the measured knee
+                       # (examples/bench_sweep.py: 6.6M steps/s vs 5.5M at 2048)
 N_STEPS = 400          # full 20 s game at dt = 0.05 (run_sim.py:15)
 HOLD = 10              # schedule piece length in control steps
 
