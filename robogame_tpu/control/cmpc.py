@@ -124,6 +124,95 @@ def _prepare(h, x0, x_des, obs, params: SimParams, mpc: MpcParams):
         x_des=x_des, h=h)
 
 
+class CmpcFusedPieces(NamedTuple):
+    """Per-player closed-form QP data for the fused CMPC kernel (the
+    analogue of ``control.dmpc.FusedPieces``): both players share the
+    same per-axis condensed gains (same h, same tau), so the Hessian
+    block, the position-sensitivity Toeplitz, and the terminal-row gains
+    are computed once.  Layouts are already the kernel's per-player
+    permuted ones -- no permutation gymnastics on the generic joint
+    ``_prepare`` output (whose condense scan + batched small matmuls
+    cost more than the QP kernel itself; see control/dmpc.py)."""
+    H1: jax.Array       # (n1, n1) shared per-player Hessian block
+    g: jax.Array        # (2 n1,) permuted [player1; player2]
+    sg1: jax.Array      # (N, 2, n1) shared position sensitivity
+    p0: jax.Array       # (2, N, 2) free-response positions per player
+    loa: jax.Array      # (2, 2N) arena bounds, xy-blocked per player
+    hia: jax.Array      # (2, 2N)
+    gN1: jax.Array      # (4, n1) shared terminal rows
+    phiN: jax.Array     # (2, 4) per-player free terminal state
+    obs: jax.Array      # (N_OBS, 2)
+    x_des: jax.Array    # (8,)
+    h: jax.Array        # ()
+
+
+def _prepare_fused(h, x0, x_des, obs, params: SimParams,
+                   mpc: MpcParams):
+    """Closed-form equivalent of ``_prepare`` restricted to (and laid
+    out for) the fused kernel path; numerically equal to the permuted
+    generic pieces up to f32 round-off (pinned by
+    tests/test_sqp_pallas.py::test_cmpc_prepare_fused_matches_generic).
+    """
+    from .dmpc import _gains
+    dtype = x0.dtype
+    N = mpc.N
+    n1 = 2 * N
+    P, V, sk, ek = _gains(h, params.tau_player, N, dtype)
+    Pt = P[::-1]
+    Vt = V[::-1]
+    eye2 = jnp.eye(2, dtype=dtype)
+
+    Hs = 2.0 * (mpc.w_pos * jnp.outer(Pt, Pt) +
+                mpc.w_vel * jnp.outer(Vt, Vt))
+    H1 = (Hs[:, None, :, None] * eye2[None, :, None, :]).reshape(n1, n1) \
+        + 2.0 * mpc.u_reg * jnp.eye(n1, dtype=dtype)
+
+    p0c = jnp.stack([x0[0:2], x0[4:6]])                   # (2, 2)
+    v0c = jnp.stack([x0[2:4], x0[6:8]])
+    pos_free = p0c[:, None, :] + sk[None, :, None] * v0c[:, None, :]
+    velN = ek[-1] * v0c                                   # (2, 2)
+    phiN = jnp.concatenate([pos_free[:, -1], velN], axis=1)  # (2, 4)
+    xdp = x_des.reshape(2, 4)
+    errp = pos_free[:, -1] - xdp[:, 0:2]
+    errv = velN - xdp[:, 2:4]
+    g = (2.0 * (mpc.w_pos * Pt[None, :, None] * errp[:, None, :] +
+                mpc.w_vel * Vt[None, :, None] * errv[:, None, :])
+         ).reshape(2 * n1)
+
+    d = jnp.arange(N)[:, None] - jnp.arange(N)[None, :]
+    M = jnp.where(d >= 0, P[jnp.clip(d, 0, N - 1)], 0.0)
+    sg1 = (M[:, None, :, None] * eye2[None, :, None, :]).reshape(N, 2,
+                                                                 n1)
+    gN1 = jnp.concatenate([
+        jnp.transpose(Pt[:, None, None] * eye2, (1, 0, 2)).reshape(2, n1),
+        jnp.transpose(Vt[:, None, None] * eye2, (1, 0, 2)).reshape(2, n1),
+    ], axis=0)
+
+    r = params.player_radius
+    box = jnp.asarray([params.arena_x / 2.0 - r,
+                       params.arena_y / 2.0 - r], dtype)
+    # xy-blocked arena bounds per player: rows [x (N); y (N)]
+    off = jnp.swapaxes(pos_free, 1, 2).reshape(2, n1)
+    loa = -jnp.repeat(box, N)[None] - off
+    hia = jnp.repeat(box, N)[None] - off
+    return CmpcFusedPieces(H1=H1, g=g, sg1=sg1, p0=pos_free, loa=loa,
+                           hia=hia, gN1=gN1, phiN=phiN, obs=obs,
+                           x_des=x_des, h=h)
+
+
+def _finish_fused(Up, fp: CmpcFusedPieces, params: SimParams,
+                  mpc: MpcParams):
+    """``_finish`` on the permuted per-player layout."""
+    dtype = Up.dtype
+    n1 = 2 * mpc.N
+    w = jnp.asarray([mpc.w_pos, mpc.w_pos, mpc.w_vel, mpc.w_vel], dtype)
+    Up = jnp.clip(Up, -params.input_limit, params.input_limit)
+    xN = fp.phiN + jnp.stack([fp.gN1 @ Up[:n1], fp.gN1 @ Up[n1:]])
+    err = xN - fp.x_des.reshape(2, 4)
+    cost = jnp.sum(err * err * w[None, :]) + mpc.N * fp.h
+    return Up, cost
+
+
 def _keepout_pieces(U, prep: CmpcPieces, params: SimParams,
                     mpc: MpcParams):
     """Keep-out rows of both players vs the obstacles, plus the pairwise
@@ -281,17 +370,45 @@ def compute_control_batch(state: CmpcState, x0_p1, x0_p2, xf_p1, xf_p2,
         minT, maxT, T, mpc.t_local, h, v, dtype))(state.h, state.valid)
 
     rep = lambda a: jnp.repeat(a, T, axis=0)
-    prep = jax.vmap(lambda h, x, xd, o: _prepare(h, x, xd, o, params,
-                                                 mpc))(
-        hs.reshape(-1), rep(x0), rep(x_des), rep(obs))
-
     U0 = jnp.where(state.valid[:, None], state.U, 0.0).astype(dtype)
     U = rep(U0)
     conv = jnp.zeros((Bq * T,), bool)
     n_ko = 2 * N_OBS * mpc.N + mpc.N
     big = jnp.full((Bq * T, n_ko), 1e9, dtype)
 
-    if use_lanes in ("joint", "fused"):
+    if use_lanes == "fused":
+        # closed-form per-player pieces + in-kernel SQP; the generic
+        # joint _prepare (condense scan + batched small matmuls) is
+        # bypassed entirely
+        from ..ops.sqp_pallas import solve_cmpc_sqp_lanes
+        n1 = 2 * N
+        perm1 = (np.arange(N)[:, None] * 4 +
+                 np.array([0, 1])).reshape(-1)
+        perm_j = np.concatenate([perm1, perm1 + 2])
+        inv_j = np.argsort(perm_j)
+        fp = jax.vmap(lambda h, x, xd, o: _prepare_fused(
+            h, x, xd, o, params, mpc))(
+            hs.reshape(-1), rep(x0), rep(x_des), rep(obs))
+        two = lambda a: jnp.broadcast_to(a[:, None], (a.shape[0], 2) +
+                                         a.shape[1:])
+        lim = params.input_limit
+        lx = jnp.full((Bq * T, 2 * n1), -lim, dtype)
+        sol = solve_cmpc_sqp_lanes(
+            two(fp.H1), fp.g, two(fp.sg1), fp.p0, fp.obs, fp.loa,
+            fp.hia, lx, -lx, U[:, perm_j], N=N, n_obs=N_OBS, n_seg0=4,
+            it0=max(1, mpc.qp_iters // 4), sqp_rest=mpc.sqp_iters - 1,
+            it_rest=mpc.warm_qp_iters,
+            d2=float((2.0 * params.player_radius) ** 2))
+        Up, conv = sol.x.astype(dtype), sol.converged
+        Up, costs = jax.vmap(lambda u, p: _finish_fused(u, p, params,
+                                                        mpc))(Up, fp)
+        U = Up[:, inv_j]
+    else:
+        prep = jax.vmap(lambda h, x, xd, o: _prepare(h, x, xd, o, params,
+                                                     mpc))(
+            hs.reshape(-1), rep(x0), rep(x_des), rep(obs))
+
+    if use_lanes == "joint":
         # Static variable permutation: the flat U is knot-major
         # interleaved ([u1x,u1y,u2x,u2y] per knot); the structured kernel
         # wants per-player contiguous blocks.  H is EXACTLY block
@@ -320,23 +437,6 @@ def compute_control_batch(state: CmpcState, x0_p1, x0_p2, xf_p1, xf_p2,
         hi_a2 = prep.hi_fix[:, nU + n1:]
         big_ko = jnp.full((Bq * T, 2 * N), 1e9, dtype)
         big_p = jnp.full((Bq * T, N), 1e9, dtype)
-
-    if use_lanes == "fused":
-        from ..ops.sqp_pallas import solve_cmpc_sqp_lanes
-        sg_j = jnp.stack([prep.sg1[..., perm1], prep.sg2[..., perm2]],
-                         axis=1)                   # (BqT, 2, N, 2, n1)
-        p0_j = jnp.stack([prep.p0_1, prep.p0_2], axis=1)
-        xy_blocked = lambda a: jnp.swapaxes(
-            a.reshape(-1, N, 2), 1, 2).reshape(-1, 2 * N)
-        loa_j = jnp.stack([xy_blocked(lo_a1), xy_blocked(lo_a2)], axis=1)
-        hia_j = jnp.stack([xy_blocked(hi_a1), xy_blocked(hi_a2)], axis=1)
-        sol = solve_cmpc_sqp_lanes(
-            Hb, g_j, sg_j, p0_j, prep.obs, loa_j, hia_j, lx, ux,
-            U[:, perm_j], N=N, n_obs=N_OBS, n_seg0=4,
-            it0=max(1, mpc.qp_iters // 4), sqp_rest=mpc.sqp_iters - 1,
-            it_rest=mpc.warm_qp_iters,
-            d2=float((2.0 * params.player_radius) ** 2))
-        U, conv = sol.x[:, inv_j].astype(dtype), sol.converged
 
     for _ in range(mpc.sqp_iters if use_lanes != "fused" else 0):
         if use_lanes == "joint":
@@ -372,7 +472,9 @@ def compute_control_batch(state: CmpcState, x0_p1, x0_p2, xf_p1, xf_p2,
                 prep.H, prep.g, A_all, lo, hi)
         U, conv = sol.x.astype(dtype), sol.converged
 
-    U, costs = jax.vmap(lambda u, p: _finish(u, p, params, mpc))(U, prep)
+    if use_lanes != "fused":
+        U, costs = jax.vmap(lambda u, p: _finish(u, p, params, mpc))(
+            U, prep)
     costs = jnp.where(conv, costs, costs + 1e9).reshape(Bq, T)
     U = U.reshape(Bq, T, nU)
     conv = conv.reshape(Bq, T)

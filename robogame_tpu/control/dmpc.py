@@ -135,6 +135,98 @@ def _prepare(h, x0, x_des, obs, params: SimParams, mpc: MpcParams):
                     obs=obs, x_des=x_des, h=h)
 
 
+class FusedPieces(NamedTuple):
+    """The subset of ``QpPieces`` the fused-kernel path consumes, built
+    by ``_prepare_fused`` from closed forms (no condense scan, no small
+    batched matmuls -- measured 6.8 ms of a 15.3 ms production
+    ``compute_control_batch`` call was the generic ``_prepare``)."""
+    H: jax.Array
+    g: jax.Array
+    lo_fix: jax.Array
+    hi_fix: jax.Array
+    sg: jax.Array
+    p0p: jax.Array
+    gN: jax.Array
+    phiN_x0: jax.Array
+    obs: jax.Array
+    x_des: jax.Array
+    h: jax.Array
+
+
+def _gains(h, tau, N: int, dtype):
+    """Closed-form condensed gains of the exact-ZOH player model
+    (models/lqsys.exact_ab), per axis.
+
+    ``A^m B`` per axis is ``[P[m]; V[m]]`` with
+    ``P[m] = (h - s) + tau (1 - e^m)(1 - e)``, ``V[m] = e^m (1 - e)``,
+    ``e = exp(-h/tau)``, ``s = tau (1 - e)``; the free response at knot
+    k uses ``s_k = tau (1 - e^k)``, ``e_k = e^k``.  Everything is
+    elementwise in h -- the condense() scan of (4, 4) matmuls and the
+    Gamma gather become broadcast arithmetic, which is what lets the
+    per-candidate QP data build at XLA speed instead of one padded MXU
+    dispatch per tiny matmul (BASELINE.md "batched small linear
+    algebra")."""
+    m = jnp.arange(N, dtype=dtype)
+    e1 = jnp.exp(-h / tau)
+    em = jnp.exp(-(m * h) / tau)           # e^m, m = 0..N-1
+    ek = em * e1                           # e^k, k = 1..N
+    s1 = tau * (1.0 - e1)
+    P = (h - s1) + tau * (1.0 - em) * (1.0 - e1)
+    V = em * (1.0 - e1)
+    sk = tau * (1.0 - ek)
+    return P, V, sk, ek
+
+
+def _prepare_fused(h, x0, x_des, obs, params: SimParams, mpc: MpcParams):
+    """Closed-form equivalent of ``_prepare`` restricted to the fields
+    the fused SQP kernel and ``_finish`` consume.  Numerically equal to
+    ``_prepare`` up to f32 round-off (pinned by
+    tests/test_dmpc_fused.py::test_prepare_fused_matches_generic)."""
+    dtype = x0.dtype
+    N = mpc.N
+    nU = 2 * N
+    P, V, sk, ek = _gains(h, params.tau_player, N, dtype)
+    Pt = P[::-1]                           # index j: P[N-1-j]
+    Vt = V[::-1]
+    eye2 = jnp.eye(2, dtype=dtype)
+
+    # H = 2 (gN^T Omega gN + reg I): axis-decoupled rank-2 structure
+    Hs = 2.0 * (mpc.w_pos * jnp.outer(Pt, Pt) +
+                mpc.w_vel * jnp.outer(Vt, Vt))            # (N, N)
+    H = (Hs[:, None, :, None] * eye2[None, :, None, :]).reshape(nU, nU) \
+        + 2.0 * mpc.u_reg * jnp.eye(nU, dtype=dtype)
+
+    p0c, v0c = x0[0:2], x0[2:4]
+    pos_free = p0c[None, :] + sk[:, None] * v0c[None, :]  # (N, 2)
+    velN = ek[-1] * v0c
+    phiN_x0 = jnp.concatenate([pos_free[-1], velN])
+    errp = pos_free[-1] - x_des[0:2]
+    errv = velN - x_des[2:4]
+    g = (2.0 * (mpc.w_pos * Pt[:, None] * errp[None, :] +
+                mpc.w_vel * Vt[:, None] * errv[None, :])).reshape(nU)
+
+    # sg[k, c, 2j+c'] = P[k-j] delta_cc' for j <= k (row k = knot k+1)
+    d = jnp.arange(N)[:, None] - jnp.arange(N)[None, :]
+    M = jnp.where(d >= 0, P[jnp.clip(d, 0, N - 1)], 0.0)  # (N, N)
+    sg = (M[:, None, :, None] * eye2[None, :, None, :]).reshape(N, 2, nU)
+
+    gN = jnp.concatenate([
+        jnp.transpose(Pt[:, None, None] * eye2, (1, 0, 2)).reshape(2, nU),
+        jnp.transpose(Vt[:, None, None] * eye2, (1, 0, 2)).reshape(2, nU),
+    ], axis=0)                                            # (4, nU)
+
+    lim = params.input_limit
+    r = params.player_radius
+    box = jnp.tile(jnp.asarray([params.arena_x / 2.0 - r,
+                                params.arena_y / 2.0 - r], dtype), N)
+    off = pos_free.reshape(-1)             # interleaved [x_1, y_1, ...]
+    lo_fix = jnp.concatenate([-lim * jnp.ones(nU, dtype), -box - off])
+    hi_fix = jnp.concatenate([lim * jnp.ones(nU, dtype), box - off])
+    return FusedPieces(H=H, g=g, lo_fix=lo_fix, hi_fix=hi_fix, sg=sg,
+                       p0p=pos_free, gN=gN, phiN_x0=phiN_x0, obs=obs,
+                       x_des=x_des, h=h)
+
+
 def _keepout(U, prep: QpPieces, params: SimParams, mpc: MpcParams):
     """Linearized keep-out rows vs the other 3 players' frozen positions
     (DMPC.py:27-31) at the current SQP iterate."""
@@ -217,7 +309,7 @@ def compute_control(state: DmpcState, x0, x_des, obstacles,
                                              "use_lanes"))
 def compute_control_batch(state: DmpcState, x0, x_des, obstacles,
                           params: SimParams, mpc: MpcParams,
-                          use_lanes: bool | None = None):
+                          use_lanes: bool | str | None = None):
     """Batched ``compute_control``: every argument carries a leading
     instance axis Bq (e.g. games x agents).  All Bq * t_grid candidate
     QPs are flattened into ONE lanes-batched Pallas solve per SQP
@@ -227,10 +319,13 @@ def compute_control_batch(state: DmpcState, x0, x_des, obstacles,
     BASELINE.md), while the lanes kernel advances 128 problems per slab
     op.
 
-    ``use_lanes=None`` auto-selects: the Pallas path on TPU when the
-    problem fits the per-tile VMEM budget, the vmapped XLA solver
-    otherwise (CPU interpret mode is orders of magnitude slower than
-    XLA on CPU)."""
+    ``use_lanes``: ``"fused"`` runs the ENTIRE SQP loop (relinearization
+    + all QP solves, ADMM warm-carried across SQP iterations) inside one
+    Pallas kernel (ops.sqp_pallas.solve_dmpc_sqp_lanes -- the fastest
+    path); ``True`` multi-launches the dense lanes kernel per SQP
+    iteration; ``False`` the vmapped XLA solver.  ``None`` auto-selects
+    on TPU: fused if it fits, else dense lanes, else XLA (CPU interpret
+    mode is orders of magnitude slower than XLA on CPU)."""
     dtype = jnp.asarray(x0).dtype
     Bq = x0.shape[0]
     T = mpc.t_grid
@@ -238,8 +333,13 @@ def compute_control_batch(state: DmpcState, x0, x_des, obstacles,
     n_rows = nU + 2 * mpc.N + N_NEIGHBORS * mpc.N
     if use_lanes is None:
         from ..ops.qp_pallas import fits_vmem
-        use_lanes = ((jax.default_backend() == "tpu")
-                     and fits_vmem(nU, n_rows))
+        from ..ops.sqp_pallas import fits_vmem_dmpc_fused
+        if jax.default_backend() != "tpu":
+            use_lanes = False
+        elif nU % 8 == 0 and fits_vmem_dmpc_fused(nU, mpc.N, N_NEIGHBORS):
+            use_lanes = "fused"
+        else:
+            use_lanes = fits_vmem(nU, n_rows)
 
     obs = jnp.asarray(obstacles, dtype).reshape(Bq, N_NEIGHBORS, 2)
     minT = params.dt * mpc.minT_frac / mpc.N
@@ -248,8 +348,9 @@ def compute_control_batch(state: DmpcState, x0, x_des, obstacles,
         minT, maxT, T, mpc.t_local, h, v, dtype))(state.h, state.valid)
 
     rep = lambda a: jnp.repeat(a, T, axis=0)
-    prep = jax.vmap(lambda h, x, xd, o: _prepare(h, x, xd, o, params,
-                                                 mpc))(
+    prep_fn = _prepare_fused if use_lanes == "fused" else _prepare
+    prep = jax.vmap(lambda h, x, xd, o: prep_fn(h, x, xd, o, params,
+                                                mpc))(
         hs.reshape(-1), rep(x0.astype(dtype)), rep(x_des.astype(dtype)),
         rep(obs))
 
@@ -257,7 +358,25 @@ def compute_control_batch(state: DmpcState, x0, x_des, obstacles,
     U = rep(U0)
     conv = jnp.zeros((Bq * T,), bool)
     big = jnp.full((Bq * T, 3 * mpc.N), 1e9, dtype)
-    for _ in range(mpc.sqp_iters):
+
+    if use_lanes == "fused":
+        from ..ops.sqp_pallas import solve_dmpc_sqp_lanes
+        # arena bounds from interleaved [x_0, y_0, x_1, y_1, ...] rows to
+        # the kernel's xy-blocked [x (N); y (N)] order
+        xy_blocked = lambda a: jnp.swapaxes(
+            a.reshape(-1, mpc.N, 2), 1, 2).reshape(-1, 2 * mpc.N)
+        sol = solve_dmpc_sqp_lanes(
+            prep.H, prep.g, prep.sg, prep.p0p, prep.obs,
+            xy_blocked(prep.lo_fix[:, nU:]),
+            xy_blocked(prep.hi_fix[:, nU:]),
+            prep.lo_fix[:, :nU], prep.hi_fix[:, :nU], U,
+            N=mpc.N, n_obs=N_NEIGHBORS, n_seg0=4,
+            it0=max(1, mpc.qp_iters // 4), sqp_rest=mpc.sqp_iters - 1,
+            it_rest=mpc.warm_qp_iters,
+            d2=float((2.0 * params.player_radius) ** 2))
+        U, conv = sol.x.astype(dtype), sol.converged
+
+    for _ in range(mpc.sqp_iters if use_lanes != "fused" else 0):
         rows, rhs = jax.vmap(lambda u, p: _keepout(u, p, params, mpc))(
             U, prep)
         A_all = jnp.concatenate([prep.A_fix, rows], axis=1)

@@ -464,6 +464,373 @@ def _make_cmpc_kernel(n1: int, N: int, M: int, mo_pad: int, mp_pad: int,
     return kernel
 
 
+def fits_vmem_dmpc_fused(n1: int, N: int, n_obs: int,
+                         budget_bytes: int = 13 * 2 ** 20) -> bool:
+    """Scratch accounting for the single-agent fused kernel: A + H + sg
+    single-buffered VMEM scratch, one factor slab, plus the
+    double-buffered vector I/O blocks.  Production DMPC (n1=40, N=20,
+    M=3) ~ 4.8 MB."""
+    m_own = 2 * N + n_obs * N
+    mo_pad = _rup(max(m_own, 1), 8)
+    scratch = n1 * mo_pad + n1 * n1 + n1 * 2 * N + n1 * n1
+    vec_in = 4 * n1 + 2 * 2 * N + 2 * N + _rup(2 * n_obs, 8)
+    out = n1 + 8
+    rows = scratch + 2 * (vec_in + out)
+    return rows * TILE * 4 <= budget_bytes
+
+
+def _make_dmpc_kernel(n1: int, N: int, M: int, mo_pad: int,
+                      n_seg0: int, it0: int, sqp_rest: int, it_rest: int,
+                      sigma: float, alpha: float, tol: float, rho: float,
+                      d2: float):
+    """Single-agent fused SQP kernel body (the DMPC shape): the CMPC
+    kernel above with the second player and the pairwise block removed --
+    one Cholesky factor, one own-rows slab, implicit input-box rows."""
+    m_own = 2 * N + M * N
+    twoN = 2 * N
+
+    def kernel(H_hbm, sg_hbm, g_ref, lx_ref, ux_ref, loa_ref, hia_ref,
+               p0_ref, obs_ref, u0_ref, x_ref, out_ref,
+               A_s, H_s, sg_s, K_s, sem):
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            H_hbm.at[:, pl.ds(i * TILE, TILE)], H_s, sem)
+        cp.start()
+        cp.wait()
+        cp = pltpu.make_async_copy(
+            sg_hbm.at[:, pl.ds(i * TILE, TILE)], sg_s, sem)
+        cp.start()
+        cp.wait()
+
+        def sgx(j):
+            return sg_s[j * twoN:j * twoN + N, :]
+
+        def sgy(j):
+            return sg_s[j * twoN + N:(j + 1) * twoN, :]
+
+        def acol(j):
+            return A_s[j * mo_pad:(j + 1) * mo_pad, :]
+
+        def hcol(j):
+            return H_s[j * n1:(j + 1) * n1, :]
+
+        g_all = g_ref[:]
+        lx = lx_ref[:]
+        ux = ux_ref[:]
+        loa = loa_ref[:]                 # (2N, T), rows [x (N); y (N)]
+        hia = hia_ref[:]
+        p0 = p0_ref[:]                   # (2N, T), rows [x (N); y (N)]
+        u0 = u0_ref[:]
+
+        # zero the pad rows of every A column once (scratch is
+        # uninitialized; pad rows must stay exactly 0 for matvecs)
+        if mo_pad > m_own:
+            zpad = jnp.zeros((mo_pad - m_own, TILE), jnp.float32)
+            for j in range(n1):
+                A_s[j * mo_pad + m_own:(j + 1) * mo_pad, :] = zpad
+
+        # knot gram terms (constant per solve): closed-form row norms of
+        # any relinearized keepout row and of the arena rows
+        gxx = jnp.zeros((N, TILE), jnp.float32)
+        gxy = jnp.zeros((N, TILE), jnp.float32)
+        gyy = jnp.zeros((N, TILE), jnp.float32)
+        for j in range(n1):
+            sx = sgx(j)
+            sy = sgy(j)
+            gxx = gxx + sx * sx
+            gxy = gxy + sx * sy
+            gyy = gyy + sy * sy
+        arena_norm = jnp.concatenate([jnp.sqrt(gxx), jnp.sqrt(gyy)],
+                                     axis=0)          # (2N, T)
+
+        # rho0 = clip(trace(H)/n, 1e-3, 1e6) * rho (qp.py:82)
+        tr = jnp.zeros((TILE,), jnp.float32)
+        for j in range(n1):
+            tr = tr + hcol(j)[j, :]
+        rho0 = jnp.clip(tr * (1.0 / n1), 1e-3, 1e6) * rho
+
+        own_iota = lax.broadcasted_iota(jnp.int32, (mo_pad, TILE), 0)
+
+        def relinearize(x_lin):
+            """Rebuild the scaled A in place at ``x_lin``; returns
+            (lo, hi, row-scale)."""
+            accx = p0[0:N, :]
+            accy = p0[N:twoN, :]
+            for j in range(n1):
+                xj = x_lin[j, :][None, :]
+                accx = accx + sgx(j) * xj
+                accy = accy + sgy(j) * xj
+
+            dxs = []
+            dys = []
+            ko_norm = []
+            rhs_ko = []
+            for m in range(M):
+                ox = obs_ref[2 * m, :][None, :]
+                oy = obs_ref[2 * m + 1, :][None, :]
+                dx = accx - ox
+                dy = accy - oy
+                dxs.append(dx)
+                dys.append(dy)
+                ko_norm.append(2.0 * jnp.sqrt(
+                    dx * dx * gxx + 2.0 * dx * dy * gxy + dy * dy * gyy))
+                gval = dx * dx + dy * dy - d2
+                rhs_ko.append(2.0 * (dx * accx + dy * accy) - gval
+                              - 2.0 * (dx * p0[0:N, :]
+                                       + dy * p0[N:twoN, :]))
+            norm_own = jnp.concatenate([arena_norm] + ko_norm, axis=0)
+            if mo_pad > m_own:
+                norm_own = jnp.concatenate(
+                    [norm_own, jnp.zeros((mo_pad - m_own, TILE),
+                                         jnp.float32)], axis=0)
+            d_o = 1.0 / jnp.maximum(norm_own, 1e-8)
+            lo_o = jnp.concatenate(
+                [loa * d_o[0:twoN, :]] +
+                [rhs_ko[m] * d_o[twoN + m * N:twoN + (m + 1) * N, :]
+                 for m in range(M)], axis=0)
+            hi_o = jnp.concatenate(
+                [hia * d_o[0:twoN, :]] +
+                [1e9 * d_o[twoN + m * N:twoN + (m + 1) * N, :]
+                 for m in range(M)], axis=0)
+            if mo_pad > m_own:
+                padz = jnp.zeros((mo_pad - m_own, TILE), jnp.float32)
+                lo_o = jnp.concatenate([lo_o, padz], axis=0)
+                hi_o = jnp.concatenate([hi_o, padz], axis=0)
+            lo_o = jnp.where(own_iota >= m_own, -BIGF, lo_o)
+            hi_o = jnp.where(own_iota >= m_own, BIGF, hi_o)
+
+            # write scaled A columns
+            for j in range(n1):
+                sx = sgx(j)
+                sy = sgy(j)
+                base = j * mo_pad
+                A_s[base:base + N, :] = sx * d_o[0:N, :]
+                A_s[base + N:base + twoN, :] = sy * d_o[N:twoN, :]
+                for m in range(M):
+                    r0 = base + twoN + m * N
+                    A_s[r0:r0 + N, :] = (
+                        2.0 * (dxs[m] * sx + dys[m] * sy)
+                        * d_o[twoN + m * N:twoN + (m + 1) * N, :])
+            return lo_o, hi_o, d_o
+
+        # ---- ADMM machinery (single block of solve_qp_lanes_joint) ------
+        def tri_matvec(T_s, v):
+            acc = T_s[0:n1, :] * v[0, :][None, :]
+            for k in range(1, n1):
+                acc = acc + T_s[k * n1:(k + 1) * n1, :] * v[k, :][None, :]
+            return acc
+
+        def tri_t_matvec(T_s, v):
+            return jnp.stack(
+                [jnp.sum(T_s[k * n1:(k + 1) * n1, :] * v, axis=0)
+                 for k in range(n1)])
+
+        def matvec_H(xv):
+            acc = jnp.zeros((n1, TILE), jnp.float32)
+            for j in range(n1):
+                acc = acc + hcol(j) * xv[j, :][None, :]
+            return acc
+
+        def matvec_A(xv):
+            acc = acol(0) * xv[0, :][None, :]
+            for j in range(1, n1):
+                acc = acc + acol(j) * xv[j, :][None, :]
+            return acc
+
+        def matvec_At(w):
+            return jnp.stack(
+                [jnp.sum(acol(j) * w, axis=0) for j in range(n1)])
+
+        def segment(c, bounds, seg_iters):
+            (x, zx, zo, yx, yo, rho_s) = c
+            lo_o, hi_o = bounds
+            ro = rho_s[None, :]          # no equality rows in this shape
+            rx = rho_s[None, :]
+
+            for j in range(n1):
+                ajr = acol(j) * ro
+                col = jnp.stack(
+                    [jnp.sum(acol(k) * ajr, axis=0) for k in range(n1)])
+                eye = jnp.eye(n1, dtype=jnp.float32)[j]
+                K_s[j * n1:(j + 1) * n1, :] = (
+                    col + hcol(j) + eye[:, None] * (sigma + rx))
+            _chol_in_place(K_s, n1)
+            _trtri_in_place(K_s, n1)
+
+            def solve_K(r):
+                return tri_t_matvec(K_s, tri_matvec(K_s, r))
+
+            def admm_iter(_, cc):
+                x, zx, zo, yx, yo = cc
+                w_x = rx * zx - yx
+                w_o = ro * zo - yo
+                rhs = sigma * x - g_all + matvec_At(w_o) + w_x
+                x_new = solve_K(rhs)
+                Ax = matvec_A(x_new)
+                zx_t = alpha * x_new + (1.0 - alpha) * zx
+                zx_new = jnp.clip(zx_t + yx / rx, lx, ux)
+                yx_new = yx + rx * (zx_t - zx_new)
+                zo_t = alpha * Ax + (1.0 - alpha) * zo
+                zo_new = jnp.clip(zo_t + yo / ro, lo_o, hi_o)
+                yo_new = yo + ro * (zo_t - zo_new)
+                return (x_new, zx_new, zo_new, yx_new, yo_new)
+
+            x, zx, zo, yx, yo = lax.fori_loop(
+                0, seg_iters, admm_iter, (x, zx, zo, yx, yo))
+
+            Ax = matvec_A(x)
+
+            def maxabs(*vs):
+                mx = jnp.zeros((TILE,), jnp.float32)
+                for v in vs:
+                    mx = jnp.maximum(mx, jnp.max(jnp.abs(v), axis=0))
+                return mx
+
+            prim = maxabs(x - zx, Ax - zo)
+            Hx = matvec_H(x)
+            Aty = matvec_At(yo) + yx
+            dual = maxabs(Hx + g_all + Aty)
+            p_sc = jnp.maximum(maxabs(x, Ax), maxabs(zx, zo)) + 1e-9
+            d_sc = jnp.maximum(jnp.maximum(maxabs(Hx), maxabs(Aty)),
+                               maxabs(g_all)) + 1e-9
+            ratio = jnp.sqrt((prim / p_sc) / (dual / d_sc + 1e-12))
+            rho_new = jnp.clip(rho_s * jnp.clip(ratio, 0.2, 5.0),
+                               1e-6, 1e8)
+            return ((x, zx, zo, yx, yo, rho_new),
+                    (prim, dual, p_sc, d_sc))
+
+        # ---- SQP iteration 1: cold start, full rho schedule -------------
+        lo_o, hi_o, d_o = relinearize(u0)
+        zv = jnp.zeros((n1, TILE), jnp.float32)
+        zo0 = jnp.zeros((mo_pad, TILE), jnp.float32)
+        init = (zv, zv, zo0, jnp.zeros_like(zv), jnp.zeros_like(zo0),
+                rho0)
+        zres = jnp.zeros((TILE,), jnp.float32)
+        carry, res = lax.fori_loop(
+            0, n_seg0,
+            lambda s, cr: segment(cr[0], (lo_o, hi_o), it0),
+            (init, (zres, zres, zres, zres)))
+
+        # ---- SQP iterations 2..: relinearize + warm single segment ------
+        if sqp_rest > 0:
+            def sqp_body(s, cr):
+                c, _res, d_o = cr
+                (x, zx, zo, yx, yo, rho_s) = c
+                lo_o, hi_o, d_o_new = relinearize(x)
+                # OSQP warm_start: keep x, rescale duals to the new row
+                # scaling, re-seed z = A_new x
+                yo = yo * (d_o / d_o_new)
+                zo = matvec_A(x)
+                c2, res2 = segment((x, zx, zo, yx, yo, rho_s),
+                                   (lo_o, hi_o), it_rest)
+                return (c2, res2, d_o_new)
+
+            carry, res, d_o = lax.fori_loop(
+                0, sqp_rest, sqp_body, (carry, res, d_o))
+
+        x_fin = carry[0]
+        prim, dual, p_sc, d_sc = res
+        conv = (prim < tol * p_sc) & (dual < 10.0 * tol * d_sc)
+        x_ref[:] = x_fin
+        zeros = jnp.zeros((TILE,), jnp.float32)
+        out_ref[:] = jnp.stack([jnp.where(conv, 1.0, 0.0), prim, dual,
+                                p_sc, d_sc, zeros, zeros, zeros])
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "N", "n_obs", "n_seg0", "it0", "sqp_rest", "it_rest", "rho", "d2"))
+def solve_dmpc_sqp_lanes(H, g, sg, p0, obs, lo_arena, hi_arena, lx, ux,
+                         U0, *, N: int, n_obs: int, n_seg0: int = 4,
+                         it0: int = 37, sqp_rest: int = 5,
+                         it_rest: int = 40, rho: float = 1.0,
+                         sigma: float = 1e-6, alpha: float = 1.6,
+                         tol: float = 1e-3, d2: float = 0.16
+                         ) -> QpSolution:
+    """Fused SQP single-agent solve, batch in vector lanes (the DMPC
+    shape; reference capability /root/reference/py/src/DMPC.py:16-54).
+
+    Equivalent to ``sqp_rest + 1`` sequential
+    ``solve_qp_lanes(scale_rows=True)`` launches with the keepout rows
+    relinearized between launches (the loop in
+    ``control/dmpc.py::compute_control_batch``), except that ADMM state
+    warm-carries across SQP iterations and iterations after the first run
+    one ``it_rest``-iteration rho segment instead of ``n_seg0``.
+
+    Inputs (batch-leading; n1 = 2N, n1 % 8 == 0):
+
+    * ``H`` (B, n1, n1), ``g`` (B, n1)
+    * ``sg`` (B, N, 2, n1) position sensitivity d p[k, c] / d u[j]
+    * ``p0`` (B, N, 2) free-response positions
+    * ``obs`` (B, n_obs, 2) keepout centers
+    * ``lo_arena``/``hi_arena`` (B, 2N): arena-box bounds ordered
+      [x-rows (N); y-rows (N)]
+    * ``lx``/``ux`` (B, n1) input box (implicit rows)
+    * ``U0`` (B, n1) first linearization point (cold ADMM start)
+    * ``d2`` static: squared keepout distance ((2 r)^2)
+    """
+    B = g.shape[0]
+    n1 = H.shape[-1]
+    if n1 != 2 * N or n1 % 8 != 0:
+        raise ValueError(f"need n1 == 2N, n1 % 8 == 0; got n1={n1}, N={N}")
+    m_own = 2 * N + n_obs * N
+    mo_pad = _rup(m_own, 8)
+    dtype = jnp.float32
+    Bp = _rup(B, TILE)
+
+    def plane(a, rows):
+        a2 = a.reshape(B, rows).astype(dtype)
+        a2 = jnp.pad(a2, ((0, Bp - B), (0, 0)))
+        return a2.T
+
+    # sg plane: per column j, rows [x(k=0..N-1); y(...)]
+    # (B, N, 2, n1) [b,k,c,j] -> [b,j,c,k]
+    sg_pl = plane(jnp.swapaxes(sg, 1, 3), n1 * 2 * N)
+    H_pl = plane(jnp.swapaxes(H, 1, 2), n1 * n1)
+    g_pl = plane(g, n1)
+    lx_pl = plane(lx, n1)
+    ux_pl = plane(ux, n1)
+    loa_pl = plane(lo_arena, 2 * N)
+    hia_pl = plane(hi_arena, 2 * N)
+    p0_pl = plane(jnp.swapaxes(p0, 1, 2), 2 * N)
+    obs_rows = _rup(2 * n_obs, 8)
+    obs_pl = plane(
+        jnp.pad(obs.reshape(B, 2 * n_obs),
+                ((0, 0), (0, obs_rows - 2 * n_obs))), obs_rows)
+    u0_pl = plane(U0, n1)
+
+    kernel = _make_dmpc_kernel(
+        n1, N, n_obs, mo_pad, n_seg0, it0, sqp_rest, it_rest,
+        float(sigma), float(alpha), float(tol), float(rho), float(d2))
+    lane = lambda rows: pl.BlockSpec((rows, TILE), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM)
+    x_p, out_p = pl.pallas_call(
+        kernel,
+        grid=(Bp // TILE,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),        # H (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),        # sg (HBM)
+            lane(n1), lane(n1), lane(n1),
+            lane(2 * N), lane(2 * N), lane(2 * N),
+            lane(obs_rows), lane(n1),
+        ],
+        out_specs=(lane(n1), lane(8)),
+        out_shape=(jax.ShapeDtypeStruct((n1, Bp), dtype),
+                   jax.ShapeDtypeStruct((8, Bp), dtype)),
+        scratch_shapes=[pltpu.VMEM((n1 * mo_pad, TILE), dtype),
+                        pltpu.VMEM((n1 * n1, TILE), dtype),
+                        pltpu.VMEM((n1 * 2 * N, TILE), dtype),
+                        pltpu.VMEM((n1 * n1, TILE), dtype),
+                        pltpu.SemaphoreType.DMA],
+        interpret=(jax.default_backend() == "cpu"),
+    )(H_pl, sg_pl, g_pl, lx_pl, ux_pl, loa_pl, hia_pl, p0_pl, obs_pl,
+      u0_pl)
+
+    return QpSolution(x=x_p[:, 0:B].T, converged=out_p[0, 0:B] > 0.5,
+                      prim_res=out_p[1, 0:B], dual_res=out_p[2, 0:B])
+
+
 @functools.partial(jax.jit, static_argnames=(
     "N", "n_obs", "n_seg0", "it0", "sqp_rest", "it_rest", "rho", "d2"))
 def solve_cmpc_sqp_lanes(Hb, g, sg, p0, obs, lo_arena, hi_arena, lx, ux,

@@ -112,6 +112,48 @@ def test_fused_warm_start_from_state():
     assert np.all(np.asarray(st2.valid) | ~np.asarray(stf.valid))
 
 
+def test_cmpc_prepare_fused_matches_generic():
+    """The closed-form per-player pieces (cmpc._prepare_fused) equal the
+    permuted generic joint ``_prepare`` output on every field the fused
+    kernel consumes."""
+    import robogame_tpu.control.cmpc as cm
+
+    params = SimParams()
+    mpc = MpcParams(N=20)
+    N = mpc.N
+    nU = 4 * N
+    n1 = 2 * N
+    perm1 = (np.arange(N)[:, None] * 4 + np.array([0, 1])).reshape(-1)
+    perm2 = perm1 + 2
+    rng = np.random.default_rng(7)
+    for h in [0.0025, 0.05, 0.2]:
+        x0 = jnp.asarray(rng.normal(size=8), jnp.float32)
+        xd = jnp.asarray(rng.normal(size=8) * 2, jnp.float32)
+        obs = jnp.asarray(rng.uniform(-2, 2, size=(2, 2)), jnp.float32)
+        a = cm._prepare(jnp.float32(h), x0, xd, obs, params, mpc)
+        b = cm._prepare_fused(jnp.float32(h), x0, xd, obs, params, mpc)
+        chk = lambda x, y, f: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=2e-5, rtol=2e-5,
+            err_msg=f"{f} at h={h}")
+        chk(b.H1, a.H[perm1][:, perm1], "H1(p1)")
+        chk(b.H1, a.H[perm2][:, perm2], "H1(p2)")
+        chk(b.g, np.concatenate([np.asarray(a.g)[perm1],
+                                 np.asarray(a.g)[perm2]]), "g")
+        chk(b.sg1, np.asarray(a.sg1)[..., perm1], "sg1")
+        chk(b.sg1, np.asarray(a.sg2)[..., perm2], "sg2")
+        chk(b.p0[0], a.p0_1, "p0_1")
+        chk(b.p0[1], a.p0_2, "p0_2")
+        xy = lambda v: np.swapaxes(np.asarray(v).reshape(N, 2), 0,
+                                   1).reshape(2 * N)
+        chk(b.loa[0], xy(a.lo_fix[nU:nU + n1]), "loa1")
+        chk(b.loa[1], xy(a.lo_fix[nU + n1:]), "loa2")
+        chk(b.hia[0], xy(a.hi_fix[nU:nU + n1]), "hia1")
+        chk(b.hia[1], xy(a.hi_fix[nU + n1:]), "hia2")
+        chk(b.gN1, np.asarray(a.gN)[0:4][:, perm1][[0, 1, 2, 3]],
+            "gN1(p1)")
+        chk(b.phiN.reshape(-1), a.phiN_x0, "phiN")
+
+
 def test_fused_auto_select_fits():
     """The production CMPC shape (N=20) fits the fused kernel's VMEM
     accounting, so auto-select routes to it on TPU."""
