@@ -202,6 +202,7 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
         kcol = jax.lax.broadcasted_iota(jnp.int32, (G + 1, TILE), 0)
         kcol_f = kcol.astype(jnp.float32)
         col_ok = kcol >= 1
+        colok_f = jnp.where(col_ok, 1.0, 0.0)
 
         def _prev(slab):
             return pltpu.roll(slab, 1, axis=0)
@@ -303,10 +304,15 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
                         continue
                     consider(pair_tc[(min(e, o), max(e, o))], 4, o)
 
-                qual = (best_t < dt) & col_ok & (kcol >= base[e][None, :])
-                kfirst = jnp.min(jnp.where(qual, kcol, G + 1), axis=0)
+                # first qualifying column via the 0/1-weight blend (the
+                # chained rank-2 bool ANDs + select lower ~7x slower; the
+                # weights are exactly 0/1 and the ints are exact in f32)
+                qf = (jnp.where(best_t < dt, 1.0, 0.0) * colok_f *
+                      jnp.where(kcol >= base[e][None, :], 1.0, 0.0))
+                ksel = (G + 1.0) + (kcol_f - (G + 1.0)) * qf
+                kfirst = jnp.min(ksel, axis=0)
                 found = kfirst <= G
-                oh = jnp.where(kcol == kfirst[None, :], 1.0, 0.0)
+                oh = jnp.where(kcol_f == kfirst[None, :], 1.0, 0.0)
                 sel_t = jnp.sum(best_t * oh, axis=0)
                 sel_m = jnp.sum(best_m * oh, axis=0).astype(jnp.int32)
                 sel_c = sel_m >> 4
@@ -616,14 +622,18 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
                 corr[e * 4 + 0] = jnp.where(isp, pairx, wx)
                 corr[e * 4 + 1] = jnp.where(isp, pairy, wy)
 
-            for c in range(NC):
-                e = c // 4
-                cb = ent_base[c // 4][None, :]
-                clm = ent_claim[e][None, :]
-                gnow = gc[c][:]
-                gc[c][:] = jnp.where(clm & (kcol > cb), corr[c],
-                                     jnp.where(clm & (kcol == cb),
-                                               tail[c], gnow))
+            # blend with f32 0/1 weights: same exact-selection trick as
+            # the exact-mode scatter (nested broadcast-bool vselects
+            # measured ~7x slower)
+            for e in range(E):
+                cb = ent_base[e][None, :]
+                clm_f = jnp.where(ent_claim[e], 1.0, 0.0)[None, :]
+                mgt = clm_f * jnp.where(kcol > cb, 1.0, 0.0)
+                meq = clm_f * jnp.where(kcol == cb, 1.0, 0.0)
+                wg = 1.0 - mgt - meq
+                for c in range(e * 4, e * 4 + 4):
+                    gc[c][:] = (mgt * corr[c] + meq * tail[c]
+                                + wg * gc[c][:])
 
             base_new = jnp.stack(
                 [jnp.where(ent_claim[e], ent_base[e], base[e])
@@ -892,14 +902,27 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
             lax.fori_loop(0, G // _U, col_chunk, (xi_base, xj_base))
 
             # --- scatter role slabs into the grid planes -----------------
+            # Blend with f32 0/1 weights instead of nested rank-2-bool
+            # vselects (the select form measured 7x slower -- broadcast
+            # bool masks lower badly).  The weights are exactly 0 or 1,
+            # so each element is 1*x + 0*y + 0*z = x: exact selection
+            # (modulo canonicalizing -0.0 to +0.0, which nothing
+            # downstream distinguishes).
             rowm = kcol >= base_new[None, :]
+            role_v = [role[c][:] for c in range(8)]
+            rowm_f = jnp.where(rowm, 1.0, 0.0)
             for e in range(E):
-                mi = (take[e] & live)[None, :] & rowm
-                mj = (is_pair & (e_j == e) & live)[None, :] & rowm
+                mi1 = jnp.where(take[e] & live, 1.0, 0.0)[None, :]
+                mj1 = jnp.where(is_pair & (e_j == e) & live,
+                                1.0, 0.0)[None, :]
+                mi_f = mi1 * rowm_f
+                mj_f = mj1 * rowm_f
+                wg = 1.0 - mi_f - mj_f
                 for c in range(4):
-                    gc[e * 4 + c][:] = jnp.where(
-                        mi, role[c][:],
-                        jnp.where(mj, role[4 + c][:], gc[e * 4 + c][:]))
+                    gc[e * 4 + c][:] = (
+                        mi_f * role_v[c]
+                        + mj_f * role_v[4 + c]
+                        + wg * gc[e * 4 + c][:])
 
             # --- slot bookkeeping (engine.py:419-439): drop slots touching
             # affected entities WITHOUT recompute (reference quirk),
@@ -933,6 +956,12 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
                     jnp.stack(dmg_rows), actv2, it + 1)
 
         if is_exact:
+            # row 0 of the role slabs is never written by the feedback
+            # loop (columns 1..G) but rides through the scatter's
+            # 0-weight blend -- zero it once so uninitialized VMEM
+            # (possibly NaN) cannot poison 0*x products
+            for c in range(8):
+                role[c][0:1, :] = jnp.zeros((1, TILE), jnp.float32)
             if mode == "exact_resume":
                 # slots + carry imported verbatim: stale-slot semantics
                 # survive compaction (rows: 0-4 st, 5-9 sj, 10-14 sc,
