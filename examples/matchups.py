@@ -157,6 +157,11 @@ def main():
                          "chunking; the tunneled TPU worker kills single "
                          "executions beyond ~60-90 s wall -- NOTES.md r3)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--engine", default=None,
+                    help="physics engine override (default: the shipped "
+                         "production default -- pallas_exact on TPU, "
+                         "sweep on CPU where the interpreted kernel is "
+                         "slower than the XLA path)")
     ap.add_argument("--no-check", action="store_true",
                     help="skip the qualitative-invariant assertions")
     args = ap.parse_args()
@@ -165,7 +170,13 @@ def main():
     if args.quick:
         args.runs, args.T = 8, 5.0
 
-    params = SimParams(dt=0.05, winning_score=4, engine="sweep")
+    # default to the production stack: the flagship record must measure
+    # the physics users actually get (VERDICT r4: the sweep default here
+    # silently benchmarked non-default physics at a fraction of the
+    # speed -- ~30 ms/step at B=128, more than both teams' solves)
+    engine = args.engine or ("sweep" if jax.default_backend() == "cpu"
+                             else "pallas_exact")
+    params = SimParams(dt=0.05, winning_score=4, engine=engine)
     mpc = MpcParams()
     strat = StrategyParams()
     cbf = CbfParams()

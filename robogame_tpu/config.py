@@ -75,9 +75,11 @@ class SimParams:
     #               iteration with sequential feedback re-propagation --
     #               the reference's exact GameSim::updateSim semantics
     #               (GameSim.cpp:136-150) at lane-batched throughput.
-    #               Deterministic only (the reference's stochastic mode
-    #               draws per-event noise inside the loop; use
-    #               engine="event" for stochastic parity runs).
+    #               Stochastic mode mirrors the reference's noise
+    #               structure: populate-pass noise plus fresh per-substep
+    #               draws consumed inside the feedback re-propagation
+    #               (sweep.repropagation_noise; the event engine remains
+    #               the stochastic parity oracle).
     engine: str = "event"
     sweep_iters: int = 50              # event-loop iteration cap in
                                        # sweep/pallas mode, default = the
@@ -121,11 +123,6 @@ class SimParams:
             raise ValueError(
                 f"SimParams.engine must be 'event', 'sweep', 'pallas' or "
                 f"'pallas_exact', got {self.engine!r}")
-        if self.engine == "pallas_exact" and self.stochastic:
-            raise ValueError(
-                "engine='pallas_exact' is deterministic-only (the "
-                "reference draws per-event noise inside the loop); use "
-                "engine='event' for stochastic event-order parity")
         if self.two_phase and not 0 < self.phase1_iters < self.sweep_iters:
             raise ValueError(
                 "two_phase needs 0 < phase1_iters < sweep_iters, got "

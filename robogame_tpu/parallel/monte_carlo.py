@@ -85,8 +85,7 @@ def _run_batch(states: GameState, params: SimParams, n_steps: int,
             ps2 = ps
         else:
             ps2, u = policy(ps, s)
-        if (params.engine in ("pallas", "pallas_exact")
-                and not params.stochastic):
+        if params.engine in ("pallas", "pallas_exact"):
             from ..physics.pallas_step import step_pallas_batch
             s2 = step_pallas_batch(s, u, params)
         else:
@@ -163,7 +162,6 @@ def monte_carlo(params: SimParams, mc: McParams,
         states = shard_batch(states, mesh)
     if (mesh is not None
             and params.engine in ("pallas", "pallas_exact")
-            and not params.stochastic
             and policy is None and not log):
         final, recs = _run_batch_shard_map(states, params, n_steps,
                                            mesh), None

@@ -71,6 +71,20 @@ TILE = 128
 _INF = 1.0e9
 NC = 20      # state components: 5 entities x 4
 
+# Incremental re-detection experiment (VERDICT r4 #5): detect() can run
+# over pl.when-gated column blocks, skipping whole blocks below every
+# live lane's re-detect base.  MEASURED NEGATIVE on TPU (r5 ablation,
+# tools/bench_grind.py): corner grind one-phase B=2048 reads 426k
+# steps/s with 8-row blocks / 480k with 16-row vs 540k monolithic --
+# the gate is min(base) over 128 lanes, and with random per-game corner
+# assignments one early-base lane per tile keeps every block live, so
+# the blocking overhead (per-block branch + merge) is all cost and no
+# skip.  Default is therefore the monolithic scan everywhere; the
+# blocked variant stays behind this flag for the equivalence test and
+# future narrower-tile experiments.  (None = auto: monolithic.)
+_FORCE_BLOCKED_DETECT = None
+_DETECT_BLOCK = 8
+
 
 # ---------------------------------------------------------------------------
 # Compile-time constant tables
@@ -113,7 +127,8 @@ def _table_key(params: SimParams):
 # The kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
+def _make_kernel(params: SimParams, mode: str = "full", cap: int = None,
+                 blocked_detect: bool = True):
     """mode: 'full' (one pass, finalize), 'export' (finalize AND dump the
     event-loop state -- grid planes + carry -- so unconverged games can be
     compacted and finished by a 'resume' kernel), 'resume' (skip populate,
@@ -126,10 +141,15 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
     compact-and-resume variants; the event-loop state round-trips through
     the 48-row carry INCLUDING the slot lists, so stale-slot semantics
     survive compaction).  See step_pallas_batch / _twophase_planes."""
-    stochastic = params.stochastic and mode in ("full", "export")
+    stochastic = params.stochastic and mode in ("full", "export",
+                                                "exact", "exact_export")
     is_resume = mode in ("resume", "exact_resume")
     is_export = mode in ("export", "exact_export")
     is_exact = mode.startswith("exact")
+    # exact modes additionally consume a per-substep re-propagation noise
+    # plane inside the feedback loop (ALL exact modes incl. resume -- the
+    # loop runs there too; populate noise only where populate runs)
+    reprop_noise = params.stochastic and is_exact
     G = params.grid_points
     dt = params.dt
     dtcol = params.dt_col
@@ -165,6 +185,7 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
         #       [gridout_ref, carryout_ref (export)], gc...
         rest = list(rest)
         noise_ref = rest.pop(0) if stochastic else None
+        rnoise_ref = rest.pop(0) if reprop_noise else None
         if is_resume:
             gridin_ref = rest.pop(0)
             carryin_ref = rest.pop(0)
@@ -178,7 +199,13 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
         # involved entities' re-propagated columns ("role i" = the popped
         # entity, "role j" = its pair partner), scattered into gc after
         # the sequential feedback loop
-        role = rest[NC:]
+        role = rest[NC:NC + 8] if is_exact else None
+        # stochastic exact: 8 more scratch planes for the role-premixed
+        # re-propagation noise (per-substep contributions, players only)
+        nmix = rest[NC + 8:NC + 16] if reprop_noise else None
+        # detect's running first-qualifying state (all modes): rows
+        # e*3 + [kfirst, t, meta] -- persists across the block scan
+        dst = rest[-1]
         # decided-game freeze (GameSim::run gate, GameSim.cpp:118-124),
         # applied in-kernel so step glue needs no extra XLA ops
         undec = ((meta_ref[0] < winning_score) &
@@ -207,114 +234,174 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
         def _prev(slab):
             return pltpu.roll(slab, 1, axis=0)
 
-        def detect(base):
+        def detect(base, ms=None):
             """First qualifying collision per entity; base (E,TILE) i32.
-            Returns lists (len E) of (TILE,): t, j, ctype, valid."""
+            Returns lists (len E) of (TILE,): t, j, ctype, valid.
+
+            Incremental re-detection (``ms``, a SCALAR i32): the candidate
+            scan runs over 8-row column blocks, and whole blocks strictly
+            below ``ms`` are skipped with ``pl.when`` -- valid because a
+            column k can only qualify with k >= base[e], so when every
+            live lane's base is past the block it contributes nothing.
+            The exact loop passes ms = min over live lanes of base_new;
+            on sustained grinding (one event per grid column, lanes in
+            near-lockstep) this skips most of the detect work of late
+            event-loop iterations.  ms=None scans every block (initial
+            detect, parallel mode).  Running first-qualifying state
+            persists across blocks in the ``dst`` scratch rows
+            (e*3 + [kfirst, t, meta]); blocks ascend, so merging
+            first-found-wins preserves the reference's column order."""
             # hoist the predecessor-column rolls: one roll per component
             # (20) instead of one per pair-slab operand (~80 + walls)
             cur = [gc[c][:] for c in range(NC)]
             prv = [_prev(v) for v in cur]
-            t_m = (kcol_f - 1.0) * dtcol
-            # pair candidate times are symmetric -- compute each unordered
-            # pair once (10 slabs instead of 20)
-            pair_tc = {}
-            for i in range(E):
-                for o in range(i + 1, E):
-                    px = cur[i * 4 + 0]
-                    py = cur[i * 4 + 1]
-                    qx = cur[o * 4 + 0]
-                    qy = cur[o * 4 + 1]
-                    px_m = prv[i * 4 + 0]
-                    py_m = prv[i * 4 + 1]
-                    vx_m = prv[i * 4 + 2]
-                    vy_m = prv[i * 4 + 3]
-                    qx_m = prv[o * 4 + 0]
-                    qy_m = prv[o * 4 + 1]
-                    wx_m = prv[o * 4 + 2]
-                    wy_m = prv[o * 4 + 3]
-                    sig = radii[i] + radii[o]
-                    dxk = qx - px
-                    dyk = qy - py
-                    over = dxk * dxk + dyk * dyk <= sig * sig
-                    dxm = qx_m - px_m
-                    dym = qy_m - py_m
-                    dvx = wx_m - vx_m
-                    dvy = wy_m - vy_m
-                    b = dxm * dvx + dym * dvy
-                    dvv = dvx * dvx + dvy * dvy
-                    dpp = dxm * dxm + dym * dym
-                    disc = b * b - dvv * (dpp - sig * sig)
-                    ok = over & (b < 0) & (disc >= 0) & (dvv > 0)
-                    den = jnp.where(dvv == 0, 1.0, dvv)
-                    tau = jnp.maximum(
-                        0.0, -(b + jnp.sqrt(jnp.maximum(disc, 0.0))) / den)
-                    pair_tc[(i, o)] = jnp.where(ok, t_m + tau, _INF)
+            ninf = jnp.full((1, TILE), G + 1.0, jnp.float32)
+            for e in range(E):
+                dst[3 * e:3 * e + 1, :] = ninf          # kfirst: none
+                dst[3 * e + 1:3 * e + 2, :] = jnp.full((1, TILE), _INF,
+                                                       jnp.float32)
+                dst[3 * e + 2:3 * e + 3, :] = jnp.zeros((1, TILE),
+                                                        jnp.float32)
+
+            def scan_block(lo, h):
+                kb = (jax.lax.broadcasted_iota(jnp.int32, (h, TILE), 0)
+                      + lo)
+                kb_f = kb.astype(jnp.float32)
+                okb = jnp.where(kb >= 1, 1.0, 0.0)
+                curb = [c[lo:lo + h] for c in cur]
+                prvb = [p[lo:lo + h] for p in prv]
+                t_m = (kb_f - 1.0) * dtcol
+                # pair candidate times are symmetric -- compute each
+                # unordered pair once (10 slabs instead of 20)
+                pair_tc = {}
+                for i in range(E):
+                    for o in range(i + 1, E):
+                        px = curb[i * 4 + 0]
+                        py = curb[i * 4 + 1]
+                        qx = curb[o * 4 + 0]
+                        qy = curb[o * 4 + 1]
+                        px_m = prvb[i * 4 + 0]
+                        py_m = prvb[i * 4 + 1]
+                        vx_m = prvb[i * 4 + 2]
+                        vy_m = prvb[i * 4 + 3]
+                        qx_m = prvb[o * 4 + 0]
+                        qy_m = prvb[o * 4 + 1]
+                        wx_m = prvb[o * 4 + 2]
+                        wy_m = prvb[o * 4 + 3]
+                        sig = radii[i] + radii[o]
+                        dxk = qx - px
+                        dyk = qy - py
+                        over = dxk * dxk + dyk * dyk <= sig * sig
+                        dxm = qx_m - px_m
+                        dym = qy_m - py_m
+                        dvx = wx_m - vx_m
+                        dvy = wy_m - vy_m
+                        b = dxm * dvx + dym * dvy
+                        dvv = dvx * dvx + dvy * dvy
+                        dpp = dxm * dxm + dym * dym
+                        disc = b * b - dvv * (dpp - sig * sig)
+                        ok = over & (b < 0) & (disc >= 0) & (dvv > 0)
+                        den = jnp.where(dvv == 0, 1.0, dvv)
+                        tau = jnp.maximum(
+                            0.0,
+                            -(b + jnp.sqrt(jnp.maximum(disc, 0.0))) / den)
+                        pair_tc[(i, o)] = jnp.where(ok, t_m + tau, _INF)
+
+                for e in range(E):
+                    px = curb[e * 4 + 0]
+                    py = curb[e * 4 + 1]
+                    px_m = prvb[e * 4 + 0]
+                    py_m = prvb[e * 4 + 1]
+                    vx_m = prvb[e * 4 + 2]
+                    vy_m = prvb[e * 4 + 3]
+                    r = radii[e]
+
+                    best_t = None
+                    # (ctype, partner) packed: meta = 16c + j+1
+                    best_m = None
+
+                    def consider(tc, cid, jid):
+                        nonlocal best_t, best_m
+                        better = tc < best_t
+                        best_m = jnp.where(better,
+                                           float(16 * cid + jid + 1),
+                                           best_m)
+                        best_t = jnp.where(better, tc, best_t)
+
+                    # walls (check order UP, DOWN, RIGHT, LEFT = ctype
+                    # 0..3).  The two walls of an axis are mutually
+                    # exclusive (the approach test selects by velocity
+                    # sign), so each axis is ONE fused candidate with a
+                    # sign-selected ctype -- same result and tie-break
+                    # order as four separate checks.
+                    for cid0, (pk, pm, vm, bound) in enumerate([
+                            (py, py_m, vy_m, halfy),
+                            (px, px_m, vx_m, halfx)]):
+                        toward = jnp.where(vm >= 0, 1.0, -1.0)
+                        overlap = toward * pk + r >= bound
+                        den = jnp.where(vm == 0, 1.0, vm)
+                        tau = jnp.maximum(
+                            0.0, ((bound - r) * toward - pm) / den)
+                        tc = jnp.where(overlap & (vm != 0), t_m + tau,
+                                       _INF)
+                        cidv = jnp.where(vm >= 0, jnp.float32(2 * cid0),
+                                         jnp.float32(2 * cid0 + 1))
+                        if best_t is None:
+                            best_t = tc
+                            best_m = 16.0 * cidv
+                        else:
+                            better = tc < best_t
+                            best_m = jnp.where(better, 16.0 * cidv,
+                                               best_m)
+                            best_t = jnp.where(better, tc, best_t)
+
+                    # partners, ascending entity order
+                    for o in range(E):
+                        if o == e:
+                            continue
+                        consider(pair_tc[(min(e, o), max(e, o))], 4, o)
+
+                    # first qualifying column in this block via the
+                    # 0/1-weight blend
+                    qf = (jnp.where(best_t < dt, 1.0, 0.0) * okb *
+                          jnp.where(kb >= base[e][None, :], 1.0, 0.0))
+                    ksel = (G + 1.0) + (kb_f - (G + 1.0)) * qf
+                    kfirst_b = jnp.min(ksel, axis=0)
+                    oh = jnp.where(kb_f == kfirst_b[None, :], 1.0, 0.0)
+                    t_b = jnp.sum(best_t * oh, axis=0)
+                    m_b = jnp.sum(best_m * oh, axis=0)
+                    # merge: earlier blocks win (first qualifying column)
+                    kprev = dst[3 * e]
+                    tk = jnp.where((kfirst_b <= G) & (kprev > G), 1.0,
+                                   0.0)
+                    dst[3 * e:3 * e + 1, :] = (
+                        tk * kfirst_b + (1.0 - tk) * kprev)[None, :]
+                    dst[3 * e + 1:3 * e + 2, :] = (
+                        tk * t_b + (1.0 - tk) * dst[3 * e + 1])[None, :]
+                    dst[3 * e + 2:3 * e + 3, :] = (
+                        tk * m_b + (1.0 - tk) * dst[3 * e + 2])[None, :]
+
+            # blocked_detect=False (interpret mode): one full-height
+            # block == the monolithic scan (identical math, none of the
+            # 7x trace blow-up that makes interpret-mode tests crawl)
+            bh = _DETECT_BLOCK
+            blocks = ([(lo, min(bh, G + 1 - lo))
+                       for lo in range(0, G + 1, bh)]
+                      if blocked_detect else [(0, G + 1)])
+            for lo, h in blocks:
+                if ms is None or not blocked_detect:
+                    scan_block(lo, h)
+                else:
+                    @pl.when(ms < lo + h)
+                    def _(lo=lo, h=h):
+                        scan_block(lo, h)
 
             t_list, j_list, c_list, v_list = [], [], [], []
             for e in range(E):
-                px = cur[e * 4 + 0]
-                py = cur[e * 4 + 1]
-                px_m = prv[e * 4 + 0]
-                py_m = prv[e * 4 + 1]
-                vx_m = prv[e * 4 + 2]
-                vy_m = prv[e * 4 + 3]
-                r = radii[e]
-
-                best_t = None
-                # (ctype, partner) packed into one value: meta = 16c + j+1
-                best_m = None
-
-                def consider(tc, cid, jid):
-                    nonlocal best_t, best_m
-                    better = tc < best_t
-                    best_m = jnp.where(better, float(16 * cid + jid + 1),
-                                       best_m)
-                    best_t = jnp.where(better, tc, best_t)
-
-                # walls (check order UP, DOWN, RIGHT, LEFT = ctype 0..3).
-                # The two walls of an axis are mutually exclusive (the
-                # approach test selects by velocity sign), so each axis is
-                # ONE fused candidate with a sign-selected ctype -- same
-                # result and tie-break order as four separate checks.  The
-                # y-axis candidate (checked first) seeds best_t/best_m
-                # directly instead of comparing against an INF fill.
-                for cid0, (pk, pm, vm, bound) in enumerate([
-                        (py, py_m, vy_m, halfy),
-                        (px, px_m, vx_m, halfx)]):
-                    toward = jnp.where(vm >= 0, 1.0, -1.0)
-                    overlap = toward * pk + r >= bound
-                    den = jnp.where(vm == 0, 1.0, vm)
-                    tau = jnp.maximum(
-                        0.0, ((bound - r) * toward - pm) / den)
-                    tc = jnp.where(overlap & (vm != 0), t_m + tau, _INF)
-                    # ctype: UP/RIGHT when approaching +, DOWN/LEFT when -
-                    cidv = jnp.where(vm >= 0, float(2 * cid0),
-                                     float(2 * cid0 + 1))
-                    if best_t is None:
-                        best_t = tc
-                        best_m = 16.0 * cidv
-                    else:
-                        better = tc < best_t
-                        best_m = jnp.where(better, 16.0 * cidv, best_m)
-                        best_t = jnp.where(better, tc, best_t)
-
-                # partners, ascending entity order
-                for o in range(E):
-                    if o == e:
-                        continue
-                    consider(pair_tc[(min(e, o), max(e, o))], 4, o)
-
-                # first qualifying column via the 0/1-weight blend (the
-                # chained rank-2 bool ANDs + select lower ~7x slower; the
-                # weights are exactly 0/1 and the ints are exact in f32)
-                qf = (jnp.where(best_t < dt, 1.0, 0.0) * colok_f *
-                      jnp.where(kcol >= base[e][None, :], 1.0, 0.0))
-                ksel = (G + 1.0) + (kcol_f - (G + 1.0)) * qf
-                kfirst = jnp.min(ksel, axis=0)
+                kfirst = dst[3 * e]
                 found = kfirst <= G
-                oh = jnp.where(kcol_f == kfirst[None, :], 1.0, 0.0)
-                sel_t = jnp.sum(best_t * oh, axis=0)
-                sel_m = jnp.sum(best_m * oh, axis=0).astype(jnp.int32)
+                sel_t = dst[3 * e + 1]
+                sel_m = dst[3 * e + 2].astype(jnp.int32)
                 sel_c = sel_m >> 4
                 sel_j = (sel_m & 15) - 1
                 t_list.append(jnp.where(found, sel_t, _INF))
@@ -740,6 +827,19 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
                     sum(jhot[o] * sub_d[o] for o in range(E)) * u_j[0],
                     sum(jhot[o] * sub_d[o] for o in range(E)) * u_j[1])
 
+            if reprop_noise:
+                # role-premix the per-substep noise contributions so the
+                # feedback loop reads one (1,TILE) row per component per
+                # column (puck rows of the plane are zero, so a puck role
+                # mixes to zero noise -- GameSim.cpp:90-96 draws none)
+                for c in range(4):
+                    nmix[c][:] = sum(ihot[e][None, :] *
+                                     rnoise_ref[e * 4 + c]
+                                     for e in range(E))
+                    nmix[4 + c][:] = sum(jhot[o][None, :] *
+                                         rnoise_ref[o * 4 + c]
+                                         for o in range(E))
+
             dt_t = t_pop - km1.astype(jnp.float32) * dtcol
             xi_t = rk4(*xi, *u_i, tau_i, drag_i, dt_t)
             xj_t = rk4(*xj, *u_j, tau_j, drag_j, dt_t)
@@ -853,6 +953,13 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
                       rj[1] + fa_j * rj[3] + su_j[1],
                       fb_j * rj[2] + su_j[2],
                       fb_j * rj[3] + su_j[3])
+                if reprop_noise:
+                    # fresh per-substep noise on re-propagated columns
+                    # (the reference's in-loop RK4 draws; engine.py ``sn``)
+                    pi = tuple(pi[c] + nmix[c][pl.ds(k, 1), :][0]
+                               for c in range(4))
+                    pj = tuple(pj[c] + nmix[4 + c][pl.ds(k, 1), :][0]
+                               for c in range(4))
                 # pair overlap correction (buf) between the two
                 dx = pj[0] - pi[0]
                 dy = pj[1] - pi[1]
@@ -926,8 +1033,11 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None):
 
             # --- slot bookkeeping (engine.py:419-439): drop slots touching
             # affected entities WITHOUT recompute (reference quirk),
-            # re-detect only the affected entities from base_new
-            st_r, sj_r, sc_r, sv_r = detect([base_new] * E)
+            # re-detect only the affected entities from base_new.
+            # Incremental: whole 8-column detect blocks below every live
+            # lane's base are skipped (see detect(ms=...))
+            ms = jnp.min(jnp.where(live, base_new, G + 1))
+            st_r, sj_r, sc_r, sv_r = detect([base_new] * E, ms=ms)
             st2l, sj2l, sc2l, sv2l = [], [], [], []
             for e in range(E):
                 touched_e = (e_pop_v == e) | (is_pair & (e_j == e))
@@ -1079,11 +1189,18 @@ def step_pallas_batch(states: GameState, controls: jax.Array,
     planes, new_keys = _to_planes(states, params)
     u = _u_plane(controls, B)
     if params.engine == "pallas_exact":
-        # event-ORDER-exact mode (deterministic only)
+        # event-ORDER-exact mode; stochastic runs add the populate noise
+        # plane plus the per-substep re-propagation noise plane consumed
+        # by the feedback loop (reference noise structure, see
+        # sweep.repropagation_noise)
+        npl = _noise_plane(states, params)
+        rpl = _rnoise_plane(states, params)
         if params.two_phase:
-            x, meta, dmg = _twophase_planes_exact(planes, u, params)
+            x, meta, dmg = _twophase_planes_exact(planes, u, params,
+                                                  npl, rpl)
         else:
-            x, meta, dmg = _kernel_call(planes, u, params, mode="exact")
+            x, meta, dmg = _kernel_call(planes, u, params, npl,
+                                        mode="exact", rnoise_plane=rpl)
     elif params.two_phase:
         x, meta, dmg = _twophase_planes(planes, u, params,
                                         _noise_plane(states, params))
@@ -1152,7 +1269,8 @@ def _twophase_planes(planes, u, params: SimParams, noise_plane=None):
     return lax.cond(n_pend > K, _full_resume, lambda _: merged, None)
 
 
-def _twophase_planes_exact(planes, u, params: SimParams):
+def _twophase_planes_exact(planes, u, params: SimParams,
+                           noise_plane=None, rnoise_plane=None):
     """Two-phase compact-and-resume for the event-ORDER-exact loop.
 
     Same shape as :func:`_twophase_planes` -- phase 1 caps every lane at
@@ -1169,7 +1287,8 @@ def _twophase_planes_exact(planes, u, params: SimParams):
     p1 = params.phase1_iters
     ev_total = params.collision_counter_lim - 1
     (x1, meta1, dmg1), grid, carry = _kernel_call(
-        planes, u, params, mode="exact_export", cap=min(p1, ev_total))
+        planes, u, params, noise_plane, mode="exact_export",
+        cap=min(p1, ev_total), rnoise_plane=rnoise_plane)
     if p1 >= ev_total:
         return (x1, meta1, dmg1)     # phase 1 already covers the budget
     K = min(Bp, max(TILE,
@@ -1177,10 +1296,11 @@ def _twophase_planes_exact(planes, u, params: SimParams):
     pending = meta1[5]
     idx = jnp.argsort(-pending)[:K]
     gat = lambda a: jnp.take(a, idx, axis=-1)
+    rn_g = None if rnoise_plane is None else gat(rnoise_plane)
     x2, meta2, dmg2 = _kernel_call(
         (gat(x_in), gat(meta_in), gat(dmg_in)), gat(u), params,
         mode="exact_resume", cap=ev_total - p1,
-        grid_in=gat(grid), carry_in=gat(carry))
+        grid_in=gat(grid), carry_in=gat(carry), rnoise_plane=rn_g)
     merged = (x1.at[:, idx].set(x2), meta1.at[:, idx].set(meta2),
               dmg1.at[:, idx].set(dmg2))
     if K >= Bp:
@@ -1189,7 +1309,8 @@ def _twophase_planes_exact(planes, u, params: SimParams):
     def _full_resume(_):
         return _kernel_call(planes, u, params, mode="exact_resume",
                             cap=ev_total - p1,
-                            grid_in=grid, carry_in=carry)
+                            grid_in=grid, carry_in=carry,
+                            rnoise_plane=rnoise_plane)
 
     n_pend = jnp.sum(pending > 0.5)
     return lax.cond(n_pend > K, _full_resume, lambda _: merged, None)
@@ -1306,6 +1427,31 @@ def _noise_plane(states: GameState, params: SimParams):
     return plane
 
 
+def _rnoise_plane(states: GameState, params: SimParams):
+    """Per-substep re-propagation noise contributions as a kernel input
+    plane (NC, G+1, Bp): rows e*4+c for players (puck rows zero), column
+    k holds the substep-(k-1 -> k) contribution.  Stream is independent
+    of the populate plane (fold_in on the same per-step key)."""
+    if not params.stochastic:
+        return None
+    from .sweep import repropagation_noise
+    B = states.score.shape[0]
+    G = params.grid_points
+    keys = jax.vmap(jax.random.split)(states.key)
+    k2 = jax.vmap(lambda k: jax.random.fold_in(k, 7))(keys[:, 1])
+    f32p = params.replace(dtype="float32")
+    contrib = jax.vmap(lambda k: repropagation_noise(k, f32p))(k2)
+    plane = jnp.transpose(contrib, (2, 3, 1, 0)).reshape(16, G, B)
+    plane = jnp.concatenate(
+        [jnp.zeros((16, 1, B), jnp.float32), plane], axis=1)
+    plane = jnp.concatenate(
+        [plane, jnp.zeros((4, G + 1, B), jnp.float32)], axis=0)
+    Bp = ((B + TILE - 1) // TILE) * TILE
+    if Bp != B:
+        plane = jnp.pad(plane, ((0, 0), (0, 0), (0, Bp - B)))
+    return plane
+
+
 def _from_planes(planes, states: GameState, new_keys,
                  params: SimParams) -> GameState:
     x, meta, dmg = planes
@@ -1321,7 +1467,7 @@ def _from_planes(planes, states: GameState, new_keys,
 
 def _kernel_call(planes, u, params: SimParams, noise_plane=None,
                  mode: str = "full", cap: int = None, grid_in=None,
-                 carry_in=None):
+                 carry_in=None, rnoise_plane=None):
     """One kernel invocation over lane-major planes.
 
     Returns (xout, meta, dmg) and, in 'export' mode, additionally the
@@ -1339,12 +1485,17 @@ def _kernel_call(planes, u, params: SimParams, noise_plane=None,
                                      memory_space=pltpu.VMEM)
 
     is_exact = mode.startswith("exact")
+    reprop = params.stochastic and is_exact
     carry_rows = 48 if is_exact else 32
     extra_in = []
     extra_specs = []
-    if params.stochastic and mode in ("full", "export"):
+    if params.stochastic and mode in ("full", "export",
+                                      "exact", "exact_export"):
         extra_in = [noise_plane]
         extra_specs = [grid_spec]
+    if reprop:
+        extra_in += [rnoise_plane]
+        extra_specs += [grid_spec]
     if mode in ("resume", "exact_resume"):
         extra_in += [grid_in, carry_in]
         extra_specs += [grid_spec, lane(carry_rows)]
@@ -1359,7 +1510,11 @@ def _kernel_call(planes, u, params: SimParams, noise_plane=None,
         out_shape += [jax.ShapeDtypeStruct((NC, G + 1, Bp), jnp.float32),
                       jax.ShapeDtypeStruct((carry_rows, Bp), jnp.float32)]
 
-    kernel = _make_kernel(params, mode=mode, cap=cap)
+    interpret = jax.default_backend() == "cpu"
+    blocked = (False if _FORCE_BLOCKED_DETECT is None
+               else _FORCE_BLOCKED_DETECT)
+    kernel = _make_kernel(params, mode=mode, cap=cap,
+                          blocked_detect=blocked)
     out = pl.pallas_call(
         kernel,
         grid=(Bp // TILE,),
@@ -1375,8 +1530,10 @@ def _kernel_call(planes, u, params: SimParams, noise_plane=None,
         out_specs=out_specs,
         out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((G + 1, TILE), jnp.float32)
-                        for _ in range(NC + (8 if is_exact else 0))],
-        interpret=(jax.default_backend() == "cpu"),
+                        for _ in range(NC + (8 if is_exact else 0)
+                                       + (8 if reprop else 0))]
+                       + [pltpu.VMEM((16, TILE), jnp.float32)],
+        interpret=interpret,
     )(M, FI, SP, x, u, meta, dmg, *extra_in)
     if mode in ("export", "exact_export"):
         xout, aux, grid_out, carry_out = out

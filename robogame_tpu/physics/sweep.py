@@ -144,6 +144,28 @@ def populate_noise(key, params: SimParams, Fpow=None, Lnoise=None):
     return jnp.einsum("kjab,jeb->kea", P, eta)                  # (G, 4, 4)
 
 
+def repropagation_noise(key, params: SimParams, Lnoise=None):
+    """Per-substep noise contributions (NOT accumulated), (G, 4 players, 4).
+
+    ``eta[j] = w L xi_j`` -- one fresh 4-vector per substep per player
+    through the exact stage-noise covariance factor L.  Consumed by the
+    exact kernel's sequential feedback re-propagation loop, mirroring the
+    reference's fresh in-loop RK4 noise draws during collision handling
+    (/root/reference/src/GameSim.cpp:66-67 via carryOutFirstCollision;
+    the event engine's analogue is engine._iter_noise's ``sn``).  The
+    draws are independent of the populate pass; multiple events in one
+    control step re-propagating the same entity over overlapping columns
+    REUSE these per-column draws (the reference redraws -- a documented
+    second-order deviation, see PARITY.md noise section)."""
+    dtype = params.jdtype
+    G = params.grid_points
+    if Lnoise is None:
+        _, _, Lnoise = _affine_tables(params)
+    w = jnp.asarray(params.noise, dtype)
+    xi = jax.random.normal(key, (G, 4, 4), dtype=dtype)
+    return w * jnp.einsum("ij,kej->kei", Lnoise, xi)
+
+
 # ---------------------------------------------------------------------------
 # Vectorized overlap corrections (slot/column batched)
 # ---------------------------------------------------------------------------

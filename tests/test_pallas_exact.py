@@ -146,10 +146,93 @@ def test_exact_corner_damage_unbiased():
     assert abs(z) < 3.0, (de.mean(), dv.mean(), z)
 
 
-def test_exact_rejects_stochastic():
-    import pytest
-    with pytest.raises(ValueError):
-        SimParams(engine="pallas_exact", stochastic=True)
+def test_exact_blocked_detect_equals_monolithic():
+    """detect() runs over pl.when-gated 8-row column blocks on TPU
+    (incremental re-detection: blocks below every live lane's base are
+    skipped) and as one monolithic block in interpret mode.  Both
+    variants must produce bitwise-identical steps -- corner grinding
+    drives the event loop to the full cap so the ms-gated re-detect path
+    is exercised at every base depth."""
+    from robogame_tpu.physics import pallas_step as psm
+    B = 128
+    pe = SimParams(dtype="float32", engine="pallas_exact",
+                   two_phase=False)
+    states, us = _corner_setup(B, 1, seed=11)
+    planes, _ = psm._to_planes(states, pe)
+    u = psm._u_plane(us[0], B)
+    outs = {}
+    for flag in (False, True):
+        psm._FORCE_BLOCKED_DETECT = flag
+        try:
+            outs[flag] = psm._kernel_call(planes, u, pe, mode="exact")
+        finally:
+            psm._FORCE_BLOCKED_DETECT = None
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_exact_stochastic_noise0_bitwise():
+    """stochastic=True with noise=0.0 must equal the deterministic exact
+    path bitwise (plumbing check for the populate + re-propagation noise
+    planes), in both one- and two-phase modes."""
+    B = 8
+    u = jnp.tile(jnp.asarray([[8., 0.], [8., 0.], [-8., 0.], [-8., 0.]],
+                             jnp.float32)[None], (B, 1, 1))
+    for tp in (False, True):
+        pd = SimParams(dtype="float32", engine="pallas_exact",
+                       two_phase=tp)
+        ps = pd.replace(stochastic=True, noise=0.0)
+        sd = _batch_states(pd, [[0., 0., 6., 0.2]] * B, range(B))
+        ss = _batch_states(ps, [[0., 0., 6., 0.2]] * B, range(B))
+        for _ in range(3):
+            sd = step_pallas_batch(sd, u, pd)
+            ss = step_pallas_batch(ss, u, ps)
+        np.testing.assert_array_equal(np.asarray(sd.x), np.asarray(ss.x))
+        np.testing.assert_array_equal(np.asarray(sd.damage),
+                                      np.asarray(ss.damage))
+
+
+def test_exact_stochastic_reprop_variance():
+    """The stochastic exact kernel mirrors the reference's noise
+    STRUCTURE: fresh draws on post-collision re-propagated columns
+    (/root/reference/src/GameSim.cpp:66-67 via carryOutFirstCollision;
+    engine._iter_noise's ``sn``), not just the populate pass.
+
+    Scenario: a player pressed into the wall and driven into it grinds
+    one wall event per grid column, so nearly every column of its step is
+    re-propagated.  Cross-seed spread of its final state then comes
+    almost entirely from re-propagation noise: the event engine and the
+    exact kernel must agree (ratio ~0.9; the kernel skips the two
+    partial-substep draws per event, a documented few-% deficit), while
+    the parallel kernel's noise-free affine tails collapse the spread to
+    ~zero -- the gap this mode closes."""
+    B = 128
+    w = 1.0
+    base = dict(dtype="float32", stochastic=True, noise=w)
+
+    def batch(params):
+        st = _batch_states(params, [[0., 0., 0., 0.]] * B, range(B))
+        x = st.x.at[:, 0, :].set(jnp.asarray(
+            [params.arena_x / 2 - 0.2 - 0.002, 0.0, 3.0, 0.5],
+            jnp.float32))
+        return st._replace(x=x)
+
+    u = jnp.tile(jnp.asarray([[8., 0.], [0., 0.], [0., 0.], [0., 0.]],
+                             jnp.float32)[None], (B, 1, 1))
+    pe = SimParams(engine="event", **base)
+    f_ev = jax.vmap(lambda s, uu: step(s, uu, pe))(batch(pe), u)
+    px = SimParams(engine="pallas_exact", two_phase=True, **base)
+    f_ex = step_pallas_batch(batch(px), u, px)
+    pp = SimParams(engine="pallas", two_phase=True, **base)
+    f_pl = step_pallas_batch(batch(pp), u, pp)
+
+    sd_ev = np.asarray(f_ev.x[:, 0, 2:4]).std(axis=0).mean()
+    sd_ex = np.asarray(f_ex.x[:, 0, 2:4]).std(axis=0).mean()
+    sd_pl = np.asarray(f_pl.x[:, 0, 2:4]).std(axis=0).mean()
+    ratio = sd_ex / sd_ev
+    assert 0.75 < ratio < 1.15, (sd_ev, sd_ex, ratio)
+    # the parallel kernel has (documented) no re-propagation noise
+    assert sd_pl < 0.3 * sd_ev, (sd_ev, sd_pl)
 
 
 def test_exact_twophase_bitwise():

@@ -31,6 +31,7 @@ import json
 import os
 import sys
 import time
+import zlib
 
 import numpy as np
 
@@ -257,7 +258,6 @@ def main():
         # salted per process, which silently broke cross-process
         # comparisons (the --dump-refs/--load-refs split) by generating
         # different schedules in each pass.
-        import zlib
         sched = make_sched(family, G, n,
                            seed=zlib.crc32(family.encode()) % 2**31)
         if args.load_refs:
@@ -296,25 +296,40 @@ def main():
                   flush=True)
             rec(compare(f_ev, f_px, f"{family}: exact-vs-event50"))
 
-    # stochastic variant: distributional only (noise models are
-    # structurally different draws; see physics/sweep.py docstring)
+    # stochastic variants: distributional only (noise models draw
+    # through the analytic stage covariance vs the reference's raw
+    # per-stage normals; see physics/sweep.py docstring).  The corner
+    # family grinds events, so it additionally exercises the exact
+    # kernel's RE-PROPAGATION noise (sweep.repropagation_noise) -- the
+    # parallel kernel's model skips that and loses post-collision
+    # diffusion there (tests/test_pallas_exact.py reprop variance test).
     if "noise" in wanted:
-        states = make_states(G, None, params)
-        sched = make_sched("uniform", G, n, seed=7)
-        if args.load_refs:
-            f_ev = load_final(f"{args.load_refs}_noise.npz")
-        else:
-            f_ev, _ = rollout("event", states, sched, params,
-                              stochastic=True, block=blk)
-        if args.dump_refs:
-            dump_final(f"{args.dump_refs}_noise.npz", f_ev)
-            print(f"# dumped {args.dump_refs}_noise.npz", flush=True)
-        else:
-            f_sw, _ = roll("sweep", states, sched, "noise_sweep",
+        for nfam, tag in (("uniform", "noise"),
+                          ("corner", "noise_corner")):
+            states = make_states(G, None, params)
+            sched = make_sched(nfam, G, n,
+                               seed=7 if nfam == "uniform"
+                               else zlib.crc32(b"corner") % 2**31)
+            if args.load_refs:
+                f_ev = load_final(f"{args.load_refs}_{tag}.npz")
+            else:
+                f_ev, _ = rollout("event", states, sched, params,
+                                  stochastic=True, block=blk)
+            if args.dump_refs:
+                dump_final(f"{args.dump_refs}_{tag}.npz", f_ev)
+                print(f"# dumped {args.dump_refs}_{tag}.npz", flush=True)
+                continue
+            f_sw, _ = roll("sweep", states, sched, f"{tag}_sweep",
                            stochastic=True)
             rec(compare(
                 f_ev, f_sw,
-                "uniform+noise1.0: sweep-vs-event (distributional)"))
+                f"{nfam}+noise1.0: sweep-vs-event (distributional)"))
+            if args.tpu:
+                f_px, _ = roll("pallas_exact", states, sched,
+                               f"{tag}_exact", stochastic=True)
+                rec(compare(
+                    f_ev, f_px,
+                    f"{nfam}+noise1.0: exact-vs-event (distributional)"))
 
     if args.json:
         with open(args.json, "w") as f:
