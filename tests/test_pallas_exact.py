@@ -128,10 +128,22 @@ def test_exact_golden_scenario_scores():
 def test_exact_corner_damage_unbiased():
     """Free-running corner rollouts: trajectories bifurcate chaotically,
     but the damage MEAN must stay unbiased (the sweep engine fails this
-    with a systematic +37%/z=-39 at campaign scale).  Modest G keeps the
-    suite fast; the bound is set from the measured G=512 figure (1.8%,
-    z=0.13) with slack for sample noise."""
-    B, steps = 192, 30
+    with a systematic +37%/z=-39 at campaign scale).
+
+    Horizon choice (r5 reconciliation, artifacts/bias_reconcile_r5.json):
+    the corner damage mean is only a SEMANTIC statistic at short
+    horizons.  At 30 steps a one-ulp input perturbation moves it 0.28%
+    (z=0.05) -- so a same-platform engine comparison here is meaningful
+    -- while at 100 steps the same perturbation moves it 40% (z=+39.5)
+    and the event engine alone shifts 24% (z=+26.5) CPU-vs-TPU: the
+    long-horizon pile-up settles onto the contact manifold where overlap
+    tests flicker at ulp scale, so long-horizon damage means measure the
+    arithmetic realization, not the event semantics.  This guard
+    therefore pins the 30-step horizon at the largest batch the suite
+    budget allows; campaign-scale coverage of the stable statistics
+    (scores, goals, KS of final states; 4096 games x 100 steps) lives in
+    the committed artifacts."""
+    B, steps = 256, 30
     pe = SimParams(dtype="float32", engine="pallas_exact")
     pv = pe.replace(engine="event")
     states, us = _corner_setup(B, steps, seed=7)

@@ -105,7 +105,7 @@ def roll_and_dump(engine, path, params, states, sched, block,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", required=True,
-                    choices=["cpu", "tpu", "compare"])
+                    choices=["cpu", "tpu", "compare", "perturb"])
     ap.add_argument("--games", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--block", type=int, default=2000)
@@ -135,13 +135,41 @@ def main():
             print(f"# wrote {args.json}", flush=True)
         return
 
-    if args.phase == "cpu":
+    if args.phase in ("cpu", "perturb"):
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
     params, states, sched = workload(args.games, args.steps)
     print(f"# platform={jax.devices()[0].platform} G={args.games} "
           f"steps={args.steps}", flush=True)
+
+    if args.phase == "perturb":
+        # The decisive control: identical code, identical platform,
+        # identical schedules -- initial states perturbed by ONE ULP
+        # (x *= 1 + 2^-23).  r5 measured: 100-step corner damage mean
+        # shifts 40% (z=+39.5) while the 30-step horizon is stable
+        # (0.28%, z=0.05) and scores/goals/KS stay matched -- the
+        # long-horizon grinding damage mean is governed by
+        # roundoff-scale contact dynamics (the pile-up settles onto the
+        # contact manifold where overlap tests flicker at ulp scale), so
+        # cross-engine or cross-platform comparisons of it measure
+        # arithmetic realization, not semantics.
+        eps = np.float32(1.0 + 2.0 ** -23)
+        states_p = states._replace(x=states.x * eps)
+        recs = []
+        for steps in (30, args.steps):
+            f0, _ = dist_equiv.rollout("event", states, sched[:steps],
+                                       params, block=args.block)
+            fp, _ = dist_equiv.rollout("event", states_p, sched[:steps],
+                                       params, block=args.block)
+            recs.append(dist_equiv.compare(
+                f0, fp,
+                f"corner {steps}step: event_cpu-vs-event_cpu+1ulp"))
+        if args.json:
+            with open(args.json, "w") as fh:
+                json.dump(dict(games=args.games, records=recs), fh,
+                          indent=1)
+        return
 
     if args.phase == "cpu":
         roll_and_dump("event", paths["event_cpu"], params, states, sched,
