@@ -843,6 +843,23 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None,
             dt_t = t_pop - km1.astype(jnp.float32) * dtcol
             xi_t = rk4(*xi, *u_i, tau_i, drag_i, dt_t)
             xj_t = rk4(*xj, *u_j, tau_j, drag_j, dt_t)
+            if reprop_noise:
+                # the reference draws fresh noise in BOTH partial-substep
+                # propagations of the event (sim-to-t_col and the
+                # remainder, GameSim.cpp:242-254 via RK4_player; combined
+                # scale w*sqrt(dt_t^2+rem^2) ~ one substep) -- critically
+                # BEFORE the impulse, so collision velocities (and the
+                # |dv|^2 damage they produce) carry that substep's
+                # diffusion.  Inject one substep draw (the otherwise-
+                # unused rnoise row at base_new) at t_col; it propagates
+                # through the resolve to the base column.  Without it the
+                # exact kernel's grinding damage ran ~10% low
+                # (corner+noise campaign r5, damage z=+10).
+                boh = jnp.where(kcol == base_new[None, :], 1.0, 0.0)
+                xi_t = [xi_t[c] + jnp.sum(nmix[c][:] * boh, axis=0)
+                        for c in range(4)]
+                xj_t = [xj_t[c] + jnp.sum(nmix[4 + c][:] * boh, axis=0)
+                        for c in range(4)]
 
             # --- INTER_AGENT: de-penetrate (1.01) + elastic impulse ------
             pijx = xj_t[0] - xi_t[0]
@@ -908,20 +925,6 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None,
             rem = dtcol - dt_t
             xi_b = rk4(*xi_res, *u_i, tau_i, drag_i, rem)
             xj_b = rk4(*xj_res, *u_j, tau_j, drag_j, rem)
-            if reprop_noise:
-                # the reference draws fresh noise in BOTH partial-substep
-                # propagations of the event (sim-to-t_col and the
-                # remainder, GameSim.cpp:242-254 via RK4_player) --
-                # combined scale w*sqrt(dt_t^2+rem^2) ~ one substep.
-                # Inject one substep draw (the otherwise-unused rnoise
-                # row at base_new) at the base column; without it the
-                # exact kernel's grinding diffusion ran ~10% low
-                # (corner+noise campaign r5, damage z=+9.9).
-                boh = jnp.where(kcol == base_new[None, :], 1.0, 0.0)
-                xi_b = [xi_b[c] + jnp.sum(nmix[c][:] * boh, axis=0)
-                        for c in range(4)]
-                xj_b = [xj_b[c] + jnp.sum(nmix[4 + c][:] * boh, axis=0)
-                        for c in range(4)]
             pbx = xj_b[0] - xi_b[0]
             pby = xj_b[1] - xi_b[1]
             pn2 = jnp.sqrt(pbx * pbx + pby * pby)
