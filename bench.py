@@ -113,7 +113,7 @@ def make_run(engine: str, b: int, n_steps: int, stochastic: bool = False):
                        # physics/pallas_step._twophase_planes[_exact] and
                        # tests/test_pallas{,_exact}.py::test_*twophase*)
                        two_phase=engine.startswith("pallas"),
-                       phase1_iters=1, compact_frac=4)
+                       phase1_iters=1, compact_frac=16)
 
     @jax.jit
     def run(states, u_base):

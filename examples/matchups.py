@@ -52,11 +52,12 @@ def make_team(kind, field, params, mpc, strat, dtype):
     (agents.dmpc_team.team_step_batch); the rest vmap per game."""
     if kind == "classical":
         from robogame_tpu.agents.classical import (initial_team_state,
-                                                   team_policy)
+                                                   team_policy_batch)
+        # all B x 5 candidate skill solves in one lanes-kernel launch
+        # (min_time_traj_batch) -- ~the whole cost of this pairing
         return (lambda: initial_team_state(dtype),
-                lambda ts, x: jax.vmap(
-                    lambda t, xx: team_policy(t, xx, field, params,
-                                              strat))(ts, x))
+                lambda ts, x: team_policy_batch(ts, x, field, params,
+                                                strat))
     if kind == "cmpc":
         from robogame_tpu.agents.centralized import (OFFENSE,
                                                      team_step_batch)

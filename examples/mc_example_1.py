@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from robogame_tpu import SimParams
-from robogame_tpu.agents.classical import initial_team_state, team_policy
+from robogame_tpu.agents.classical import (initial_team_state,
+                                           team_policy_batch)
 from robogame_tpu.config import CbfParams, StrategyParams
 from robogame_tpu.control.cbf import safe_control_batch
 from robogame_tpu.parallel.monte_carlo import (McParams, aggregate,
@@ -32,19 +33,18 @@ from robogame_tpu.utils.gamelog import GameLogWriter, rows_from_states
 
 
 def make_policy(params, strat, cbf, use_cbf):
-    def per_game(carry, s):
-        ts_a, ts_b = carry
-        ts_a, u_a = team_policy(ts_a, s.x, -1, params, strat)
-        ts_b, u_b = team_policy(ts_b, s.x, 1, params, strat)
-        return (ts_a, ts_b), jnp.concatenate([u_a, u_b], axis=0)
-
     def policy(carry, states):
-        carry, u = jax.vmap(per_game)(carry, states)
+        ts_a, ts_b = carry
+        # all B x 5 candidate skill solves of each team in one batched QP
+        # launch (the lanes kernel on TPU, control.trajopt.
+        # min_time_traj_batch), as are the CBF-QPs below
+        ts_a, u_a = team_policy_batch(ts_a, states.x, -1, params, strat)
+        ts_b, u_b = team_policy_batch(ts_b, states.x, 1, params, strat)
+        u = jnp.concatenate([u_a, u_b], axis=1)
         if use_cbf:
-            # all games' CBF-QPs in one lanes-batched solve on TPU
             u = safe_control_batch(u, states.x[:, :4, 0:2],
                                    states.x[:, :4, 2:4], params, cbf).u
-        return carry, u
+        return (ts_a, ts_b), u
 
     return policy
 

@@ -108,16 +108,11 @@ def _normalize(v):
     return jnp.where(n > 0, v / jnp.where(n > 0, n, 1.0), v)
 
 
-@functools.partial(jax.jit, static_argnames=("field", "params", "strat"))
-def team_policy(ts: TeamState, x: jax.Array, field: int,
-                params: SimParams, strat: StrategyParams):
-    """One control step of the classical team state machine
-    (/root/reference/py/src/ClassicalTeam.py:15-75).
-
-    ``x``: (5, 4) entity states; ``field``: -1 (team A, defends left) or
-    +1 (team B).  Returns (new TeamState, (2, 2) velocities
-    [goalie, player]).
-    """
+def _team_candidates(x: jax.Array, field: int, params: SimParams,
+                     strat: StrategyParams):
+    """Per-game pre-solve math of the team state machine: the 5 candidate
+    skill problems (player simple_kick / defend_kick@1.5kv, goalie
+    defend / kick / defend_kick) and the play selection."""
     dtype = x.dtype
     kv = strat.kick_velocity
     rows = (A1, A2, B1, B2) if field < 0 else (B1, B2, A1, A2)
@@ -130,12 +125,6 @@ def team_policy(ts: TeamState, x: jax.Array, field: int,
     next_play = jnp.where((field * puck[0] >= params.arena_x / 4.0) &
                           (field * puck[2] >= 0), DEFENSE,
                           OFFENSE).astype(jnp.int32)
-    flipped = next_play != ts.curr_play
-    # play flip -> clean_up(): both players idled (reference 19-21, 77-80)
-    goalie = jax.tree.map(
-        lambda a, b: jnp.where(flipped, a, b), idle_player(dtype), ts.goalie)
-    player = jax.tree.map(
-        lambda a, b: jnp.where(flipped, a, b), idle_player(dtype), ts.player)
 
     # --- candidate skill targets ---
     pf_kick, vf_kick = kick_final_state(goal, puck[0:2], kv, params)
@@ -156,8 +145,24 @@ def team_policy(ts: TeamState, x: jax.Array, field: int,
     cand_pf = jnp.stack([pf_kick, pf_dk, pf_def, pf_kick, pf_dk])
     cand_vf = jnp.stack([vf_kick, 1.5 * kv * dk_dir, z, vf_kick,
                          kv * dk_dir])
-    trajs = jax.vmap(lambda a, b, c, d: min_time_traj(a, b, c, d, params))(
-        cand_p0, cand_v0, cand_pf, cand_vf)
+    return cand_p0, cand_v0, cand_pf, cand_vf, next_play
+
+
+def _team_apply(ts: TeamState, x: jax.Array, trajs, next_play,
+                field: int):
+    """Post-solve half of the state machine: play-flip idling, masked
+    trajectory installs, open-loop playback."""
+    dtype = x.dtype
+    puck = x[PUCK]
+    rows = (A1, A2, B1, B2) if field < 0 else (B1, B2, A1, A2)
+    g_row, p_row, o1_row, o2_row = rows
+    flipped = next_play != ts.curr_play
+    # play flip -> clean_up(): both players idled (reference 19-21, 77-80)
+    goalie = jax.tree.map(
+        lambda a, b: jnp.where(flipped, a, b), idle_player(dtype), ts.goalie)
+    player = jax.tree.map(
+        lambda a, b: jnp.where(flipped, a, b), idle_player(dtype), ts.player)
+
     (t_simple, t_dk15, t_def, t_gkick, t_gdk) = [
         jax.tree.map(lambda a, i=i: a[i], trajs) for i in range(5)]
 
@@ -188,6 +193,53 @@ def team_policy(ts: TeamState, x: jax.Array, field: int,
     u_p, player = get_control(player)
     ts2 = TeamState(goalie=goalie, player=player, curr_play=next_play)
     return ts2, jnp.stack([u_g, u_p])
+
+
+@functools.partial(jax.jit, static_argnames=("field", "params", "strat"))
+def team_policy(ts: TeamState, x: jax.Array, field: int,
+                params: SimParams, strat: StrategyParams):
+    """One control step of the classical team state machine
+    (/root/reference/py/src/ClassicalTeam.py:15-75).
+
+    ``x``: (5, 4) entity states; ``field``: -1 (team A, defends left) or
+    +1 (team B).  Returns (new TeamState, (2, 2) velocities
+    [goalie, player]).
+    """
+    cand_p0, cand_v0, cand_pf, cand_vf, next_play = _team_candidates(
+        x, field, params, strat)
+    trajs = jax.vmap(lambda a, b, c, d: min_time_traj(a, b, c, d, params))(
+        cand_p0, cand_v0, cand_pf, cand_vf)
+    return _team_apply(ts, x, trajs, next_play, field)
+
+
+@functools.partial(jax.jit, static_argnames=("field", "params", "strat",
+                                             "use_lanes"))
+def team_policy_batch(ts: TeamState, x: jax.Array, field: int,
+                      params: SimParams, strat: StrategyParams,
+                      use_lanes: bool | None = None):
+    """Batched :func:`team_policy`: ``ts`` with (B, ...) leaves, ``x``
+    (B, 5, 4).  All B x 5 candidate skill solves (x T_GRID final-time
+    candidates each) go through ONE lanes-kernel launch
+    (``control.trajopt.min_time_traj_batch``) instead of vmapped
+    per-problem XLA QPs -- the classical matchup sweep's dominant cost
+    (NOTES.md r5).  Matches vmapped :func:`team_policy` up to solver
+    roundoff (tests/test_agents.py::test_classical_batch_matches_vmapped).
+    """
+    from ..control.trajopt import min_time_traj_batch
+
+    B = x.shape[0]
+    cand_p0, cand_v0, cand_pf, cand_vf, next_play = jax.vmap(
+        lambda xx: _team_candidates(xx, field, params, strat))(x)
+    flat = lambda a: a.reshape(B * 5, 2)
+    trajs_flat = min_time_traj_batch(flat(cand_p0), flat(cand_v0),
+                                     flat(cand_pf), flat(cand_vf),
+                                     params, use_lanes=use_lanes)
+    # (B*5, ...) -> per-game candidate-leading (B, 5, ...)
+    trajs = jax.tree.map(
+        lambda a: a.reshape((B, 5) + a.shape[1:]), trajs_flat)
+    return jax.vmap(
+        lambda t, xx, tr, npl: _team_apply(t, xx, tr, npl, field)
+    )(ts, x, trajs, next_play)
 
 
 # ---------------------------------------------------------------------------

@@ -101,22 +101,22 @@ class SimParams:
                                        # from the event engine on random
                                        # schedules; the old default 12
                                        # truncated sustained grinding
-    # Two-phase event loop (pallas engine only): phase 1 runs every game
-    # to a shallow cap, then the ~10% of games whose chains are longer
-    # are compacted into a batch of B/compact_frac lanes and finished at
-    # full depth.  Games beyond the compact budget (only when more than
-    # B/compact_frac games chain past phase1_iters simultaneously) are
-    # truncated at phase1_iters.  3.7x throughput at equal sweep_iters
-    # on MC workloads (see BASELINE.md); bitwise-identical to the
-    # one-phase kernel whenever the compact budget is not exceeded
-    # (measured max 326 <= 512 at B=2048 on the MC workload; only
-    # adversarial all-batch pile-ups exceed it, and then within the
-    # documented grinding envelope, PARITY.md).  Default ON: pallas is
-    # the throughput engine; set two_phase=False for the strict
-    # one-phase kernel.
+    # Two-phase event loop (pallas engines): phase 1 runs every game to
+    # a shallow cap, then the games whose chains are longer are
+    # compacted into a batch of B/compact_frac lanes and finished at
+    # full depth.  When MORE than B/compact_frac games are still pending
+    # after phase 1, a rarely-taken lax.cond re-runs the resume over the
+    # FULL batch, so two-phase is exactly one-phase-equivalent at every
+    # pending count (see _twophase_planes[_exact]); compact_frac is
+    # therefore a pure throughput knob.  r5 sweep on the headline MC
+    # workload (B=8192 / 2048, pallas_exact): frac 4 -> 8.28M / 6.94M
+    # steps/s, 8 -> 9.03M / 7.29M, 16 -> 9.27M / 7.32M, 32 -> 8.18M / -
+    # (full-resume guard dominates) => default 16.  Default ON: pallas
+    # engines are the throughput path; set two_phase=False for the
+    # strict one-phase kernel.
     two_phase: bool = True
     phase1_iters: int = 1
-    compact_frac: int = 4
+    compact_frac: int = 16
 
     def __post_init__(self):
         if self.engine not in ("event", "sweep", "pallas", "pallas_exact"):

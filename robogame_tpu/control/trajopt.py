@@ -28,6 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import SimParams
 from ..models.lqsys import condense, exact_ab
@@ -150,6 +151,110 @@ def min_time_traj(p0, v0, pf, vf, params: SimParams,
     u_pad = jnp.where(success, u_pad, 0.0)
     return Trajectory(u=u_pad, length=jnp.where(success, n, 1),
                       success=success, T=T)
+
+
+@f32_matmul
+@functools.partial(jax.jit, static_argnames=("params", "qp_iters",
+                                             "use_lanes"))
+def min_time_traj_batch(p0, v0, pf, vf, params: SimParams,
+                        qp_iters: int = 60,
+                        use_lanes: bool | None = None) -> Trajectory:
+    """Batched :func:`min_time_traj`: (B, 2) inputs, Trajectory with
+    (B, ...) leaves.
+
+    All B x T_GRID candidate condensed QPs solve in ONE lanes-kernel
+    launch on TPU (``ops.qp_pallas.solve_qp_lanes``) instead of B x
+    T_GRID separate padded MXU dispatches (the vmapped-XLA
+    batched-small-matmul pathology, NOTES.md r2) -- this is what makes
+    the batched classical team (the reference's run_sim flagship, 5
+    candidate skills x T_GRID QPs per game per control step) fast at
+    matchup scale.  The per-candidate H / A_in / condensation matrices
+    depend only on the static T grid, so they are trace-time constants
+    broadcast across games; only g and the box offsets are per-game.
+    Matches :func:`min_time_traj` (same solver family; argmin
+    tie-breaks can differ at solver roundoff --
+    tests/test_agents.py::test_classical_batch_matches_vmapped)."""
+    dtype = jnp.asarray(p0).dtype
+    B = p0.shape[0]
+    x0 = jnp.concatenate([p0, v0], axis=1).astype(dtype)     # (B, 4)
+    xf = jnp.concatenate([pf, vf], axis=1).astype(dtype)
+    N = N_KNOTS
+    nU = 2 * N
+    w_terminal, w_effort = 10.0, 1e-3
+    lim = params.input_limit
+
+    Ts_np = params.dt * np.logspace(0.0, 1.0, T_GRID,
+                                    base=T_MAX / params.dt)
+    sel, plo, phi_hi = _arena_rows(params, N, dtype)
+    H_ks, Ain_ks, gN_ks, phiN_ks, selphi_ks = [], [], [], [], []
+    for h in Ts_np / N_KNOTS:
+        A, Bm = exact_ab(float(h), params.tau_player, dtype)
+        phi, gam = condense(A, Bm, N)
+        rowN = slice(4 * (N - 1), 4 * N)
+        gN = gam[rowN]
+        H_ks.append(2.0 * (w_effort * jnp.eye(nU, dtype=dtype) +
+                           w_terminal * gN.T @ gN))
+        Ain_ks.append(jnp.concatenate(
+            [jnp.eye(nU, dtype=dtype), sel @ gam], axis=0))
+        gN_ks.append(gN)
+        phiN_ks.append(phi[rowN])
+        selphi_ks.append(sel @ phi)
+    H_k = jnp.stack(H_ks)                     # (K, nU, nU)
+    Ain_k = jnp.stack(Ain_ks)                 # (K, m, nU)
+    gN_k = jnp.stack(gN_ks)                   # (K, 4, nU)
+    phiN_k = jnp.stack(phiN_ks)               # (K, 4, 4)
+    selphi_k = jnp.stack(selphi_ks)           # (K, 2N, 4)
+    K = T_GRID
+    m = Ain_k.shape[1]
+
+    phiN_x0 = jnp.einsum("kij,bj->kbi", phiN_k, x0)          # (K, B, 4)
+    g = 2.0 * w_terminal * jnp.einsum("kin,kbi->kbn", gN_k,
+                                      phiN_x0 - xf[None])    # (K, B, nU)
+    off = jnp.einsum("krj,bj->kbr", selphi_k, x0)            # (K, B, 2N)
+    lo = jnp.concatenate(
+        [jnp.broadcast_to(-lim * jnp.ones(nU, dtype), (K, B, nU)),
+         plo[None, None] - off], axis=-1)                    # (K, B, m)
+    hi = jnp.concatenate(
+        [jnp.broadcast_to(lim * jnp.ones(nU, dtype), (K, B, nU)),
+         phi_hi[None, None] - off], axis=-1)
+
+    H_all = jnp.broadcast_to(H_k[:, None], (K, B, nU, nU))
+    A_all = jnp.broadcast_to(Ain_k[:, None], (K, B, m, nU))
+    flat = lambda a: a.reshape((K * B,) + a.shape[2:])
+
+    if use_lanes is None:
+        from ..ops.qp_pallas import fits_vmem
+        use_lanes = (jax.default_backend() == "tpu"
+                     and fits_vmem(nU, m))
+    if use_lanes:
+        from ..ops.qp_pallas import solve_qp_lanes
+        sol = solve_qp_lanes(flat(H_all), flat(g), flat(A_all),
+                             flat(lo), flat(hi), iters=qp_iters)
+    else:
+        from ..ops.qp import solve_qp_batch
+        sol = solve_qp_batch(flat(H_all), flat(g), flat(A_all),
+                             flat(lo), flat(hi), iters=qp_iters)
+
+    U = jnp.clip(sol.x.reshape(K, B, N, 2), -lim, lim)
+    xN = phiN_x0 + jnp.einsum("kin,kbn->kbi", gN_k,
+                              U.reshape(K, B, nU))
+    Ts = jnp.asarray(Ts_np, dtype)
+    costs = (10.0 * jnp.sum((xN - xf[None]) ** 2, axis=-1)
+             + Ts[:, None])                                  # (K, B)
+    conv = sol.converged.reshape(K, B)
+    costs = jnp.where(conv, costs, costs + 1e6)
+    kbest = jnp.argmin(costs, axis=0)                        # (B,)
+    bi = jnp.arange(B)
+    U_b = U[kbest, bi]                                       # (B, N, 2)
+    T_b = Ts[kbest]
+    h_b = T_b / N_KNOTS
+    success = conv[kbest, bi]
+    u_pad, n_len = jax.vmap(
+        lambda Uu, hh, TT: _resample(Uu, hh, params.dt, TT))(U_b, h_b, T_b)
+    u_pad = jnp.where(success[:, None, None], u_pad, 0.0)
+    return Trajectory(u=u_pad,
+                      length=jnp.where(success, n_len, 1),
+                      success=success, T=T_b)
 
 
 @f32_matmul

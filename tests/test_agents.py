@@ -109,3 +109,33 @@ def test_host_team_api_runs():
         vB1, vB2 = away.run(view)
         vec = sim.run(vA1, vA2, vB1, vB2)
     assert np.isfinite(vec).all()
+
+
+def test_classical_batch_matches_vmapped():
+    """team_policy_batch routes all B x 5 candidate skill solves through
+    one batched QP launch (min_time_traj_batch; the lanes kernel on TPU,
+    batched XLA here).  It must reproduce the vmapped per-game
+    team_policy: plays identical, installed trajectories and emitted
+    controls to solver roundoff (the two paths evaluate the same QPs
+    with different batching, so einsum association differs at f32)."""
+    from robogame_tpu.agents.classical import team_policy_batch
+    from robogame_tpu.parallel.monte_carlo import McParams, _initial_states
+
+    params = SimParams(dtype="float32", engine="sweep")
+    strat = StrategyParams()
+    B = 6
+    states = _initial_states(params, McParams(num_runs=B,
+                                              randomize_x0=True))
+    x = states.x
+    ts0 = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape),
+                       initial_team_state(jnp.float32))
+    ts1, u1 = jax.vmap(
+        lambda t, xx: team_policy(t, xx, -1, params, strat))(ts0, x)
+    ts2, u2 = team_policy_batch(ts0, x, -1, params, strat,
+                                use_lanes=False)
+    assert bool(jnp.all(ts1.curr_play == ts2.curr_play))
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ts1.goalie.u_traj),
+                               np.asarray(ts2.goalie.u_traj), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ts1.player.u_traj),
+                               np.asarray(ts2.player.u_traj), atol=2e-3)
