@@ -165,6 +165,31 @@ def _make_team_batched(team: str, params, mpc, strat, dtype, B):
             return (cs_a, cs_b), jnp.concatenate([u_a, u_b], axis=1)
         return init, controls
 
+    if team == "classical":
+        # the run_sim flagship batched: all B x 5 candidate skill solves
+        # of each team in one lanes-kernel launch (team_policy_batch, r5)
+        # plus the lanes-batched centralized CBF filter
+        from robogame_tpu.agents.classical import (initial_team_state,
+                                                   team_policy_batch)
+        from robogame_tpu.config import CbfParams
+        from robogame_tpu.control.cbf import safe_control_batch
+        cbf = CbfParams()
+
+        def init():
+            one = (initial_team_state(dtype), initial_team_state(dtype))
+            return jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (B,) + a.shape), one)
+
+        def controls(carry, s):
+            ts_a, ts_b = carry
+            ts_a, u_a = team_policy_batch(ts_a, s.x, -1, params, strat)
+            ts_b, u_b = team_policy_batch(ts_b, s.x, 1, params, strat)
+            u = jnp.concatenate([u_a, u_b], axis=1)
+            u = safe_control_batch(u, s.x[:, :4, 0:2], s.x[:, :4, 2:4],
+                                   params, cbf).u
+            return (ts_a, ts_b), u
+        return init, controls
+
     if team != "dmpc":
         init1, controls1 = _make_team(team, params, mpc, strat, dtype)
 
