@@ -972,7 +972,13 @@ def _make_kernel(params: SimParams, mode: str = "full", cap: int = None,
                       fb_j * rj[3] + su_j[3])
                 if reprop_noise:
                     # fresh per-substep noise on re-propagated columns
-                    # (the reference's in-loop RK4 draws; engine.py ``sn``)
+                    # (the reference's in-loop RK4 draws; engine.py
+                    # ``sn``).  Rows are PER-COLUMN: successive events of
+                    # one control step re-read the same rows where the
+                    # reference redraws -- rotating the reads by the
+                    # iteration index was tried (r5) and measured WORSE
+                    # at campaign power (corner+noise 10.9% -> 13.5%),
+                    # so the per-column scheme stays.
                     pi = tuple(pi[c] + nmix[c][pl.ds(k, 1), :][0]
                                for c in range(4))
                     pj = tuple(pj[c] + nmix[4 + c][pl.ds(k, 1), :][0]
@@ -1446,8 +1452,9 @@ def _noise_plane(states: GameState, params: SimParams):
 
 def _rnoise_plane(states: GameState, params: SimParams):
     """Per-substep re-propagation noise contributions as a kernel input
-    plane (NC, G+1, Bp): rows e*4+c for players (puck rows zero), column
-    k holds the substep-(k-1 -> k) contribution.  Stream is independent
+    plane (NC, G+1, Bp): rows e*4+c for players (puck rows zero); ALL
+    G+1 columns hold iid substep draws (the kernel's iteration-rotated
+    reads must never land on a draw-free row).  Stream is independent
     of the populate plane (fold_in on the same per-step key)."""
     if not params.stochastic:
         return None
@@ -1457,10 +1464,9 @@ def _rnoise_plane(states: GameState, params: SimParams):
     keys = jax.vmap(jax.random.split)(states.key)
     k2 = jax.vmap(lambda k: jax.random.fold_in(k, 7))(keys[:, 1])
     f32p = params.replace(dtype="float32")
-    contrib = jax.vmap(lambda k: repropagation_noise(k, f32p))(k2)
-    plane = jnp.transpose(contrib, (2, 3, 1, 0)).reshape(16, G, B)
-    plane = jnp.concatenate(
-        [jnp.zeros((16, 1, B), jnp.float32), plane], axis=1)
+    contrib = jax.vmap(
+        lambda k: repropagation_noise(k, f32p, n=G + 1))(k2)
+    plane = jnp.transpose(contrib, (2, 3, 1, 0)).reshape(16, G + 1, B)
     plane = jnp.concatenate(
         [plane, jnp.zeros((4, G + 1, B), jnp.float32)], axis=0)
     Bp = ((B + TILE - 1) // TILE) * TILE

@@ -144,7 +144,8 @@ def populate_noise(key, params: SimParams, Fpow=None, Lnoise=None):
     return jnp.einsum("kjab,jeb->kea", P, eta)                  # (G, 4, 4)
 
 
-def repropagation_noise(key, params: SimParams, Lnoise=None):
+def repropagation_noise(key, params: SimParams, Lnoise=None,
+                        n: int | None = None):
     """Per-substep noise contributions (NOT accumulated), (G, 4 players, 4).
 
     ``eta[j] = w L xi_j`` -- one fresh 4-vector per substep per player
@@ -156,13 +157,17 @@ def repropagation_noise(key, params: SimParams, Lnoise=None):
     draws are independent of the populate pass; multiple events in one
     control step re-propagating the same entity over overlapping columns
     REUSE these per-column draws (the reference redraws -- a documented
-    second-order deviation, see PARITY.md noise section)."""
+    second-order deviation; iteration-rotated reads were tried in r5 and
+    measured WORSE at campaign power, PARITY.md noise section).  ``n``
+    overrides the number of substep rows (the kernel plane carries G+1
+    iid rows)."""
     dtype = params.jdtype
     G = params.grid_points
     if Lnoise is None:
         _, _, Lnoise = _affine_tables(params)
     w = jnp.asarray(params.noise, dtype)
-    xi = jax.random.normal(key, (G, 4, 4), dtype=dtype)
+    xi = jax.random.normal(key, (n if n is not None else G, 4, 4),
+                           dtype=dtype)
     return w * jnp.einsum("ij,kej->kei", Lnoise, xi)
 
 
