@@ -86,3 +86,34 @@ def test_min_time_batched():
         p0, v0, pf, vf)
     assert trajs.u.shape[0] == 2
     assert bool(trajs.success.all())
+
+
+def test_min_time_traj_batch_matches_single():
+    """min_time_traj_batch (one batched QP launch for all B x T_GRID
+    candidates; the lanes kernel on TPU) must reproduce per-instance
+    min_time_traj: same chosen final times and controls to solver
+    roundoff (identical QPs, different batching => f32 association
+    differs)."""
+    import jax
+    import numpy as np
+    from robogame_tpu.control.trajopt import min_time_traj_batch
+
+    params = SimParams(dtype="float32")
+    rng = np.random.default_rng(5)
+    B = 5
+    p0 = jnp.asarray(rng.uniform(-3, 3, (B, 2)), jnp.float32)
+    v0 = jnp.asarray(rng.uniform(-2, 2, (B, 2)), jnp.float32)
+    pf = jnp.asarray(rng.uniform(-3, 3, (B, 2)), jnp.float32)
+    vf = jnp.asarray(rng.uniform(-2, 2, (B, 2)), jnp.float32)
+    tb = min_time_traj_batch(p0, v0, pf, vf, params, use_lanes=False)
+    for i in range(B):
+        ti = min_time_traj(p0[i], v0[i], pf[i], vf[i], params)
+        assert bool(ti.success) == bool(tb.success[i])
+        np.testing.assert_allclose(float(tb.T[i]), float(ti.T), rtol=1e-6)
+        # playback length can flip by one at a floor(T/dt) boundary when
+        # T differs at the last ulp; compare the common valid prefix
+        n1, n2 = int(ti.length), int(tb.length[i])
+        assert abs(n1 - n2) <= 1, (n1, n2)
+        n = min(n1, n2)
+        np.testing.assert_allclose(np.asarray(tb.u[i][:, :n]),
+                                   np.asarray(ti.u[:, :n]), atol=6e-3)
